@@ -1,0 +1,49 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference tests its driver against a SoftwareModelBackend with no RTL
+(hw/sim/cpp/tests/test_virtual_layer.cpp) — the same pattern here: JAX CPU
+backend + Pallas interpret mode stand in for real TPU hardware, and an
+8-device virtual CPU platform stands in for a multi-chip mesh.
+"""
+
+import os
+import sys
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(autouse=True)
+def _default_to_cpu(monkeypatch):
+    """Run tests on the CPU backend even when a TPU plugin is registered.
+
+    The production code paths pick their backend through
+    resnet_accel_tpu.runtime.backend; tests pin it to CPU (the "software
+    model" seam) so the suite runs hermetically anywhere.
+    """
+    monkeypatch.setenv("RESNET_ACCEL_TPU_BACKEND", "cpu")
+    yield
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+def has_reference_data() -> bool:
+    return os.path.isdir(REFERENCE_DATA)
+
+
+requires_reference_data = pytest.mark.skipif(
+    not has_reference_data(), reason="reference data fixtures not mounted"
+)
