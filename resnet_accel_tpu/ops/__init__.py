@@ -1,0 +1,30 @@
+"""The TPU compute path: Pallas MXU kernels and XLA ops."""
+
+from resnet_accel_tpu.ops.matmul_int8 import matmul_int8, matmul_int8_xla
+from resnet_accel_tpu.ops.conv import conv2d_int8, im2col_nchw
+from resnet_accel_tpu.ops.pooling import maxpool2d_int8, avgpool_global_int8
+from resnet_accel_tpu.ops.epilogue import (
+    requantize,
+    requant_factors,
+    add_residual,
+    relu_int8,
+    relu6_int8,
+    quantize_input,
+    dequantize_output,
+)
+
+__all__ = [
+    "matmul_int8",
+    "matmul_int8_xla",
+    "conv2d_int8",
+    "im2col_nchw",
+    "maxpool2d_int8",
+    "avgpool_global_int8",
+    "requantize",
+    "requant_factors",
+    "add_residual",
+    "relu_int8",
+    "relu6_int8",
+    "quantize_input",
+    "dequantize_output",
+]

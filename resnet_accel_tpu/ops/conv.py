@@ -1,0 +1,91 @@
+"""INT8 convolution on TPU via im2col -> MXU GEMM.
+
+The reference lowers conv to GEMM through im2col so its systolic array can
+run it (golden_models.cpp:801-933); the TPU rebuild keeps that lowering —
+the MXU is also a GEMM engine — but the im2col transform is pure XLA data
+movement (static strided slices, fused by the compiler) and the GEMM is
+the Pallas int8 kernel.
+
+Weights arrive pre-flattened [C_out, C_in*K*K] (sparse.conv_weight_to_2d,
+matching export_bsr_14x14.py:556).  All dtypes stay int8/int32 end to end:
+no float promotion anywhere in the conv path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from resnet_accel_tpu.ops.matmul_int8 import matmul_int8
+
+
+def im2col_nchw(
+    x: jnp.ndarray, kernel: int, stride: int, padding: int
+) -> jnp.ndarray:
+    """[N, C, H, W] int8 -> [N, H_out*W_out, C*K*K] patch tensor.
+
+    Row order within a patch is (c, kh, kw) — identical to the golden
+    im2col_int8 (golden_models.cpp:817-838) so the flattened-weight GEMM
+    contracts the same elements.
+    Pure static slicing: K*K strided slices stacked — XLA fuses this, no
+    gather needed, works for any dtype (stays int8).
+    """
+    N, C, H, W = x.shape
+    K = kernel
+    H_out = (H + 2 * padding - K) // stride + 1
+    W_out = (W + 2 * padding - K) // stride + 1
+    if padding > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding),
+                        (padding, padding)))
+    patches = []
+    for kh in range(K):
+        for kw in range(K):
+            sl = x[:, :, kh:kh + stride * H_out:stride,
+                   kw:kw + stride * W_out:stride]          # [N,C,Ho,Wo]
+            patches.append(sl)
+    # [K*K, N, C, Ho, Wo] -> [N, Ho, Wo, C, K*K] -> [N, Ho*Wo, C*K*K]
+    p = jnp.stack(patches, axis=0)
+    p = p.transpose(1, 3, 4, 2, 0)
+    return p.reshape(N, H_out * W_out, C * K * K)
+
+
+def conv2d_int8(
+    x: jnp.ndarray,
+    weight2d: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    kernel: int,
+    stride: int = 1,
+    padding: int = 0,
+    factors: Optional[np.ndarray] = None,
+    relu: bool = False,
+    backend: Optional[str] = None,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Fused int8 conv(-bias)(-ReLU)(-requant): NCHW in, NCHW out.
+
+    Args:
+        x: [N, C_in, H, W] int8.
+        weight2d: [C_out, C_in*K*K] int8 (flattened OIHW).
+        bias: [C_out] int32 accumulator-domain bias.
+        factors: per-output-channel float32 requant factors; when given the
+            output is int8, else raw int32 accumulators.
+
+    Returns:
+        [N, C_out, H_out, W_out].
+    """
+    N, C, H, W = x.shape
+    C_out = weight2d.shape[0]
+    H_out = (H + 2 * padding - kernel) // stride + 1
+    W_out = (W + 2 * padding - kernel) // stride + 1
+
+    patches = im2col_nchw(x, kernel, stride, padding)   # [N, P, CKK]
+    a = patches.reshape(N * H_out * W_out, -1)          # [N*P, CKK]
+    out = matmul_int8(
+        a, weight2d.T,
+        bias=bias, factors=factors, relu=relu,
+        backend=backend, use_pallas=use_pallas)         # [N*P, C_out]
+    out = out.reshape(N, H_out, W_out, C_out)
+    return out.transpose(0, 3, 1, 2)

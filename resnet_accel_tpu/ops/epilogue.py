@@ -1,0 +1,112 @@
+"""Fused output epilogues (JAX) — bit-exact with the numpy goldens.
+
+The reference fuses ReLU -> scale -> saturate-to-int8 into its output
+accumulator (hw/rtl/buffer/output_accumulator.sv:1-62); the C++ golden
+defines the exact arithmetic (golden_models.cpp:378-410 requantize,
+:465-490 residual add).  These jnp ops reproduce that arithmetic in
+float32 with round-half-to-even so XLA/TPU results match the numpy
+goldens bit-for-bit.  They fuse into the surrounding kernels under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def requantize(
+    acc: jnp.ndarray,
+    factors,
+    relu: bool = False,
+    bias: Optional[jnp.ndarray] = None,
+    axis: int = -1,
+) -> jnp.ndarray:
+    """int32 accumulator -> int8, matching golden requantize semantics.
+
+    out = clip(rint(float32(relu(acc + bias)) * factors), -128, 127)
+
+    ``factors`` is ``in_scale / out_scale`` — precomputed in float32 by the
+    caller (scalar or per-channel along ``axis``).  ``bias`` is int32 in
+    the accumulator domain (quant.bias_to_int32).  ReLU is applied on the
+    int32 accumulator pre-requant (golden relu_int32 placement).
+    """
+    acc = acc.astype(jnp.int32)
+    if bias is not None:
+        shape = [1] * acc.ndim
+        shape[axis] = -1
+        acc = acc + bias.astype(jnp.int32).reshape(shape)
+    if relu:
+        acc = jnp.maximum(acc, 0)
+    factors = jnp.asarray(factors, dtype=jnp.float32)
+    if factors.ndim > 0 and factors.size > 1:
+        shape = [1] * acc.ndim
+        shape[axis] = -1
+        factors = factors.reshape(shape)
+    scaled = acc.astype(jnp.float32) * factors
+    rounded = jnp.rint(scaled)
+    return jnp.clip(rounded, -128, 127).astype(jnp.int8)
+
+
+def requant_factors(
+    act_scale: float, wgt_scales: np.ndarray, out_scale: float
+) -> np.ndarray:
+    """Precompute float32 requant factors = act_scale*wgt_scale/out_scale.
+
+    Computed in float32 end-to-end so the golden and TPU paths share the
+    exact same constants (the C++ golden computes float scale_factor =
+    in_scale / out_scale, golden_models.cpp:390).
+    """
+    in_scales = (np.float32(act_scale)
+                 * np.asarray(wgt_scales, dtype=np.float32))
+    return (in_scales / np.float32(out_scale)).astype(np.float32)
+
+
+def add_residual(
+    main: jnp.ndarray,
+    residual: jnp.ndarray,
+    main_scale: float,
+    residual_scale: float,
+    out_scale: float,
+    relu: bool = False,
+) -> jnp.ndarray:
+    """ResNet skip add across scales (golden add_residual_int8).
+
+    Dequantize both int8 paths to float32, add, requantize with
+    round-half-even + saturation.  Optional fused ReLU *after* the add
+    (the post-residual ReLU of a ResNet block) applied in int8 domain —
+    equivalent to clamping at 0 before saturation.
+    """
+    m = main.astype(jnp.float32) * jnp.float32(main_scale)
+    r = residual.astype(jnp.float32) * jnp.float32(residual_scale)
+    s = m + r
+    q = jnp.rint(s / jnp.float32(out_scale))
+    q = jnp.clip(q, -128, 127)
+    if relu:
+        q = jnp.maximum(q, 0)
+    return q.astype(jnp.int8)
+
+
+def relu_int8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0).astype(jnp.int8)
+
+
+def relu6_int8(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Clamped ReLU with the golden's truncated upper bound."""
+    max_val = jnp.int8(int(np.float32(6.0) / np.float32(scale)))
+    return jnp.clip(x, 0, max_val).astype(jnp.int8)
+
+
+def quantize_input(
+    x: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """fp32 -> int8 with the reference's symmetric formula (rint + clip)."""
+    q = jnp.rint(x.astype(jnp.float32) / jnp.float32(scale))
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+def dequantize_output(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """int -> fp32 logits."""
+    scale = jnp.asarray(scale, dtype=jnp.float32)
+    return x.astype(jnp.float32) * scale

@@ -1,0 +1,56 @@
+"""Backend seam — the dependency-injection point for "which device runs it".
+
+The reference's AXIBackend abstraction (hw/sim/cpp/include/axi_master.hpp:
+44,125,230,341) let the same driver run against real FPGA /dev/mem, a
+Verilator co-sim, or a pure software model.  The TPU-native equivalent:
+
+- ``tpu``    — real TPU chip(s): compiled Pallas kernels + XLA.
+- ``cpu``    — JAX CPU backend; Pallas kernels run in interpret mode.
+               (the "SoftwareModelBackend": identical test harnesses, no HW)
+- ``golden`` — pure numpy golden models (bit-exactness oracle).
+
+Selection: explicit argument > RESNET_ACCEL_TPU_BACKEND env var > first
+available accelerator.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+
+
+VALID_BACKENDS = ("tpu", "cpu", "golden")
+
+
+@functools.lru_cache(maxsize=None)
+def _accelerator_available() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def resolve_backend(backend: Optional[str] = None) -> str:
+    """Resolve the effective backend name."""
+    b = backend or os.environ.get("RESNET_ACCEL_TPU_BACKEND")
+    if b is None:
+        b = "tpu" if _accelerator_available() else "cpu"
+    if b not in VALID_BACKENDS:
+        raise ValueError(f"unknown backend {b!r}; expected {VALID_BACKENDS}")
+    return b
+
+
+def interpret_mode(backend: Optional[str] = None) -> bool:
+    """True when Pallas kernels must run in interpreter mode (no TPU)."""
+    return resolve_backend(backend) != "tpu"
+
+
+def default_device(backend: Optional[str] = None):
+    """The jax.Device computations should target for this backend."""
+    b = resolve_backend(backend)
+    if b == "cpu":
+        return jax.devices("cpu")[0]
+    return jax.devices()[0]

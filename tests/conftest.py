@@ -25,14 +25,21 @@ def cpu_devices():
     return jax.devices("cpu")
 
 
+# Pin ALL jax computation in the test process to the CPU backend, even when
+# a TPU plugin is registered (the axon plugin ignores JAX_PLATFORMS).  This
+# covers both the Pallas interpret flag (via RESNET_ACCEL_TPU_BACKEND) and
+# the XLA default device — otherwise every jnp op would compile over the
+# TPU tunnel, which is slow and non-hermetic.
+os.environ["RESNET_ACCEL_TPU_BACKEND"] = "cpu"
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:  # no cpu backend registered — leave default
+    pass
+
+
 @pytest.fixture(autouse=True)
 def _default_to_cpu(monkeypatch):
-    """Run tests on the CPU backend even when a TPU plugin is registered.
-
-    The production code paths pick their backend through
-    resnet_accel_tpu.runtime.backend; tests pin it to CPU (the "software
-    model" seam) so the suite runs hermetically anywhere.
-    """
+    """Keep the software-model seam pinned per-test as well."""
     monkeypatch.setenv("RESNET_ACCEL_TPU_BACKEND", "cpu")
     yield
 
