@@ -100,10 +100,21 @@ def add_residual_int8(
 
 
 def maxpool2d_int8(
-    x: np.ndarray, pool_size: int, stride: int
+    x: np.ndarray, pool_size: int, stride: int, padding: int = 0
 ) -> np.ndarray:
-    """2D max pooling over CHW int8 input.  Scale-preserving."""
+    """2D max pooling over CHW int8 input.  Scale-preserving.
+
+    ``padding`` extends the reference op (which is padding-free,
+    golden_models.cpp:534) for ResNet-18's 3x3/2 p1 stem pool; padding
+    cells hold INT8_MIN so they never win the max (torch's -inf).
+    """
     x = np.asarray(x, dtype=np.int8)
+    if padding > 0:
+        C0, H0, W0 = x.shape
+        xp = np.full((C0, H0 + 2 * padding, W0 + 2 * padding), -128,
+                     dtype=np.int8)
+        xp[:, padding:padding + H0, padding:padding + W0] = x
+        x = xp
     C, H, W = x.shape
     H_out = (H - pool_size) // stride + 1
     W_out = (W - pool_size) // stride + 1

@@ -1,0 +1,426 @@
+"""ResNet-18 INT8 inference — the engine the reference left as a stub.
+
+The reference defines a 21-layer ResNet-18 table and an inference API but
+its run_inference returns a hard-coded result
+(hw/sim/cpp/src/resnet_inference.cpp:210-246, hpp:121-133).  This module
+is the real thing, TPU-native:
+
+- conv -> im2col -> fused int8 MXU GEMM (+bias +ReLU +per-channel requant)
+- BatchNorm folded into conv weights at quantization time (so the fused
+  conv-BN-ReLU-requant layer of BASELINE.json config 4 is ONE kernel)
+- residual adds via the golden dequant-add-requant semantics
+  (golden_models.cpp:465) with fused post-add ReLU
+- downsample (1x1/2) paths, stem maxpool, global avgpool with the
+  golden's truncating rounding, final FC to logits
+- any layer can carry block-sparse (BSR) weights -> the zero-skip kernel
+
+Geometries: ImageNet (7x7/2 stem + 3x3/2 maxpool, 224x224) and CIFAR
+(3x3/1 stem, no maxpool, 32x32) — mirroring the reference trainer's
+CIFAR-10/ImageNet support (sw/training/train_resnet18.py).
+
+Pipeline per basic block (all int8 between layers):
+    x(s_in) -> conv1+BN+ReLU -> requant(s_b1) -> conv2+BN -> requant(s_mn)
+    residual = x         (identity)  @ s_in
+             | downsample(x)         @ s_ds
+    out = requant(dequant(main) + dequant(residual), s_out) ; ReLU
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnet_accel_tpu import golden
+from resnet_accel_tpu.ops import (
+    add_residual,
+    avgpool_global_int8,
+    conv2d_int8,
+    matmul_int8,
+    maxpool2d_int8,
+    quantize_input,
+    requant_factors,
+)
+from resnet_accel_tpu.quant import (
+    bias_to_int32,
+    quantize_symmetric_per_channel,
+)
+
+#: Stage plan: (out_channels, blocks, first_stride) — resnet_inference.hpp
+#: layer table (4 stages x 2 basic blocks, downsample at stage 2-4 starts).
+STAGES = [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]
+BN_EPS = 1e-5
+
+
+# ==========================================================================
+# FP32 parameter construction / BN folding
+# ==========================================================================
+
+def init_resnet18_fp32(
+    seed: int = 0, num_classes: int = 1000, small_input: bool = False
+) -> Dict[str, np.ndarray]:
+    """He-init FP32 parameters in torchvision's flat naming scheme.
+
+    Deterministic (seeded) so tests are reproducible — the reference
+    seeds all its trainers the same way (train_mnist.py:12-23).
+    """
+    rng = np.random.default_rng(seed)
+    p: Dict[str, np.ndarray] = {}
+
+    def conv(name, o, i, k):
+        fan_in = i * k * k
+        p[f"{name}.weight"] = (
+            rng.normal(0, np.sqrt(2.0 / fan_in), (o, i, k, k))
+        ).astype(np.float32)
+
+    def bn(name, c):
+        p[f"{name}.weight"] = np.ones(c, np.float32)          # gamma
+        p[f"{name}.bias"] = np.zeros(c, np.float32)           # beta
+        p[f"{name}.running_mean"] = (
+            rng.normal(0, 0.1, c).astype(np.float32))
+        p[f"{name}.running_var"] = (
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+
+    if small_input:
+        conv("conv1", 64, 3, 3)
+    else:
+        conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+
+    in_c = 64
+    for si, (out_c, blocks, stride) in enumerate(STAGES, start=1):
+        for b in range(blocks):
+            base = f"layer{si}.{b}"
+            conv(f"{base}.conv1", out_c, in_c if b == 0 else out_c, 3)
+            bn(f"{base}.bn1", out_c)
+            conv(f"{base}.conv2", out_c, out_c, 3)
+            bn(f"{base}.bn2", out_c)
+            if b == 0 and (stride != 1 or in_c != out_c):
+                conv(f"{base}.downsample.0", out_c, in_c, 1)
+                bn(f"{base}.downsample.1", out_c)
+        in_c = out_c
+
+    p["fc.weight"] = (
+        rng.normal(0, 0.01, (num_classes, 512)).astype(np.float32))
+    p["fc.bias"] = np.zeros(num_classes, np.float32)
+    return p
+
+
+def fold_bn(
+    conv_w: np.ndarray, bn_gamma, bn_beta, bn_mean, bn_var,
+    eps: float = BN_EPS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold inference-mode BatchNorm into the preceding conv.
+
+    w' = w * gamma/sqrt(var+eps) (per out channel); b' = beta - mean*that.
+    """
+    scale = bn_gamma / np.sqrt(bn_var + eps)
+    w = conv_w * scale[:, None, None, None]
+    b = bn_beta - bn_mean * scale
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+# ==========================================================================
+# Quantized model structure
+# ==========================================================================
+
+@dataclasses.dataclass
+class QConv:
+    """One fused conv(-BN)(-ReLU)(-requant) layer, ready for the kernel."""
+
+    w2d: np.ndarray          # [O, I*K*K] int8
+    bias: np.ndarray         # [O] int32 (accumulator domain)
+    factors: np.ndarray      # [O] float32 requant factors
+    in_channels: int
+    kernel: int
+    stride: int
+    padding: int
+    relu: bool
+    # Optional block-sparse weights (regrouped for the zero-skip kernel).
+    bsr: Optional[object] = None  # ops.bsr_matmul.KernelBSR
+
+
+@dataclasses.dataclass
+class QBlock:
+    conv1: QConv
+    conv2: QConv
+    downsample: Optional[QConv]
+    s_in: float
+    s_main: float
+    s_res: float             # scale of the residual path (s_in or s_ds)
+    s_out: float
+
+
+@dataclasses.dataclass
+class ResNet18Int8:
+    stem: QConv
+    blocks: List[QBlock]
+    fc_w: np.ndarray         # [num_classes, 512] int8
+    fc_b: np.ndarray         # [num_classes] int32
+    fc_deq: np.ndarray       # [num_classes] float32 dequant of fc acc
+    s_input: float
+    small_input: bool
+    num_classes: int
+
+    def as_device_params(self) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {}
+
+        def put(prefix, qc: QConv):
+            out[f"{prefix}.w"] = jnp.asarray(qc.w2d)
+            out[f"{prefix}.b"] = jnp.asarray(qc.bias)
+            out[f"{prefix}.f"] = jnp.asarray(qc.factors)
+
+        put("stem", self.stem)
+        for i, blk in enumerate(self.blocks):
+            put(f"b{i}.c1", blk.conv1)
+            put(f"b{i}.c2", blk.conv2)
+            if blk.downsample is not None:
+                put(f"b{i}.ds", blk.downsample)
+        out["fc.w"] = jnp.asarray(self.fc_w.T)
+        out["fc.b"] = jnp.asarray(self.fc_b)
+        out["fc.deq"] = jnp.asarray(self.fc_deq)
+        return out
+
+
+# ==========================================================================
+# Quantization (PTQ with calibration)
+# ==========================================================================
+
+def _float_forward_taps(params, x, small_input):
+    """Inference-mode FP32 forward (BN folded) returning activation taps.
+
+    Calibration-only; uses lax.conv for speed (quantize_resnet18.py's
+    ActivationCalibrator role, :103-160).
+    """
+    taps = {}
+
+    def conv(name, x, stride, padding):
+        w = params[name]                     # folded [O,I,K,K]
+        b = params[name + ".bias"]
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (stride, stride),
+            [(padding, padding), (padding, padding)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y + jnp.asarray(b)[None, :, None, None]
+
+    if small_input:
+        a = conv("conv1", x, 1, 1)
+    else:
+        a = conv("conv1", x, 2, 3)
+    a = jnp.maximum(a, 0)
+    taps["stem"] = a
+    if not small_input:
+        a = jax.lax.reduce_window(
+            a, jnp.float32(-np.inf), jax.lax.max,
+            (1, 1, 3, 3), (1, 1, 2, 2),
+            ((0, 0), (0, 0), (1, 1), (1, 1)))
+    bi = 0
+    in_c = 64
+    for si, (out_c, blocks, stride) in enumerate(STAGES, start=1):
+        for b in range(blocks):
+            base = f"layer{si}.{b}"
+            st = stride if b == 0 else 1
+            y = conv(f"{base}.conv1", a, st, 1)
+            y = jnp.maximum(y, 0)
+            taps[f"b{bi}.c1"] = y
+            y = conv(f"{base}.conv2", y, 1, 1)
+            taps[f"b{bi}.c2"] = y
+            if f"{base}.downsample.0" in params:
+                r = conv(f"{base}.downsample.0", a, st, 0)
+                taps[f"b{bi}.ds"] = r
+            else:
+                r = a
+            a = jnp.maximum(y + r, 0)
+            taps[f"b{bi}.out"] = a
+            bi += 1
+        in_c = out_c
+    a = jnp.mean(a, axis=(2, 3))
+    logits = a @ jnp.asarray(params["fc.weight"]).T \
+        + jnp.asarray(params["fc.bias"])
+    taps["fc_in"] = a
+    return logits, taps
+
+
+def quantize_resnet18(
+    params_fp32: Dict[str, np.ndarray],
+    calib_x: np.ndarray,
+    num_classes: int = 1000,
+    small_input: bool = False,
+) -> ResNet18Int8:
+    """Fold BN, quantize per-channel INT8, calibrate activation scales.
+
+    ``calib_x``: FP32 NCHW calibration batch (quantize_resnet18.py's
+    calibrate_activations over N batches, here one representative batch).
+    """
+    # ---- 1. fold BN into convs ------------------------------------------
+    folded: Dict[str, np.ndarray] = {}
+
+    def fold(conv_name, bn_name):
+        w, b = fold_bn(
+            params_fp32[f"{conv_name}.weight"],
+            params_fp32[f"{bn_name}.weight"],
+            params_fp32[f"{bn_name}.bias"],
+            params_fp32[f"{bn_name}.running_mean"],
+            params_fp32[f"{bn_name}.running_var"])
+        folded[conv_name] = w
+        folded[conv_name + ".bias"] = b
+
+    fold("conv1", "bn1")
+    for si, (out_c, blocks, _) in enumerate(STAGES, start=1):
+        for b in range(blocks):
+            base = f"layer{si}.{b}"
+            fold(f"{base}.conv1", f"{base}.bn1")
+            fold(f"{base}.conv2", f"{base}.bn2")
+            if f"{base}.downsample.0.weight" in params_fp32:
+                fold(f"{base}.downsample.0", f"{base}.downsample.1")
+    folded["fc.weight"] = params_fp32["fc.weight"]
+    folded["fc.bias"] = params_fp32["fc.bias"]
+
+    # ---- 2. calibrate activation scales ---------------------------------
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, taps = _float_forward_taps(
+            folded, jnp.asarray(calib_x, jnp.float32), small_input)
+        taps = {k: np.asarray(v) for k, v in taps.items()}
+
+    def scale_of(arr):
+        return max(float(np.abs(arr).max()) / 127.0, 1e-12)
+
+    s_input = scale_of(calib_x)
+    s = {k: scale_of(v) for k, v in taps.items()}
+
+    # ---- 3. build quantized layers --------------------------------------
+    def qconv(name, s_in, s_out, relu, in_c, k, stride, pad):
+        w = folded[name]
+        b = folded[name + ".bias"]
+        w_q, w_s = quantize_symmetric_per_channel(w, axis=0)
+        return QConv(
+            w2d=w_q.reshape(w_q.shape[0], -1),
+            bias=bias_to_int32(b, s_in, w_s),
+            factors=requant_factors(s_in, w_s, s_out),
+            in_channels=in_c, kernel=k, stride=stride, padding=pad,
+            relu=relu)
+
+    stem_k, stem_s, stem_p = (3, 1, 1) if small_input else (7, 2, 3)
+    stem = qconv("conv1", s_input, s["stem"], True, 3, stem_k, stem_s,
+                 stem_p)
+
+    blocks: List[QBlock] = []
+    bi = 0
+    in_c = 64
+    s_prev = s["stem"]
+    for si, (out_c, nblocks, stride) in enumerate(STAGES, start=1):
+        for b in range(nblocks):
+            base = f"layer{si}.{b}"
+            st = stride if b == 0 else 1
+            c_in = in_c if b == 0 else out_c
+            conv1 = qconv(f"{base}.conv1", s_prev, s[f"b{bi}.c1"], True,
+                          c_in, 3, st, 1)
+            conv2 = qconv(f"{base}.conv2", s[f"b{bi}.c1"], s[f"b{bi}.c2"],
+                          False, out_c, 3, 1, 1)
+            ds = None
+            s_res = s_prev
+            if f"{base}.downsample.0" in folded:
+                ds = qconv(f"{base}.downsample.0", s_prev, s[f"b{bi}.ds"],
+                           False, c_in, 1, st, 0)
+                s_res = s[f"b{bi}.ds"]
+            blocks.append(QBlock(
+                conv1=conv1, conv2=conv2, downsample=ds,
+                s_in=s_prev, s_main=s[f"b{bi}.c2"], s_res=s_res,
+                s_out=s[f"b{bi}.out"]))
+            s_prev = s[f"b{bi}.out"]
+            bi += 1
+        in_c = out_c
+
+    # ---- 4. final FC ------------------------------------------------------
+    fc_q, fc_s = quantize_symmetric_per_channel(folded["fc.weight"], axis=0)
+    fc_b = bias_to_int32(folded["fc.bias"], s_prev, fc_s)
+    fc_deq = (np.float32(s_prev) * fc_s).astype(np.float32)
+
+    return ResNet18Int8(
+        stem=stem, blocks=blocks, fc_w=fc_q, fc_b=fc_b, fc_deq=fc_deq,
+        s_input=s_input, small_input=small_input, num_classes=num_classes)
+
+
+# ==========================================================================
+# TPU forward
+# ==========================================================================
+
+def make_forward(model: ResNet18Int8, use_pallas: bool = True,
+                 backend: Optional[str] = None):
+    """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits."""
+
+    def run_conv(params, prefix, qc: QConv, x):
+        return conv2d_int8(
+            x, params[f"{prefix}.w"], bias=params[f"{prefix}.b"],
+            kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
+            factors=params[f"{prefix}.f"], relu=qc.relu,
+            use_pallas=use_pallas, backend=backend)
+
+    def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
+        a = quantize_input(x, model.s_input)
+        a = run_conv(params, "stem", model.stem, a)
+        if not model.small_input:
+            a = maxpool2d_int8(a, 3, 2, padding=1)
+        for i, blk in enumerate(model.blocks):
+            y = run_conv(params, f"b{i}.c1", blk.conv1, a)
+            y = run_conv(params, f"b{i}.c2", blk.conv2, y)
+            r = run_conv(params, f"b{i}.ds", blk.downsample, a) \
+                if blk.downsample is not None else a
+            a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
+                             relu=True)
+        a = avgpool_global_int8(a)
+        acc = matmul_int8(a, params["fc.w"], bias=params["fc.b"],
+                          use_pallas=use_pallas, backend=backend)
+        return acc.astype(jnp.float32) * params["fc.deq"][None, :]
+
+    return forward
+
+
+# ==========================================================================
+# Golden forward (numpy, per-sample) — bit-exactness oracle
+# ==========================================================================
+
+def _g_requant(acc, factors, relu):
+    acc = acc.astype(np.int64)
+    if relu:
+        acc = np.maximum(acc, 0)
+    scaled = acc.astype(np.int32).astype(np.float32) * factors
+    return np.clip(np.rint(scaled), -128, 127).astype(np.int8)
+
+
+def _g_conv(qc: QConv, x):
+    acc = golden.conv2d_int8_im2col(
+        x, qc.w2d, qc.bias, qc.in_channels, qc.kernel, qc.stride,
+        qc.padding)
+    return _g_requant(acc, qc.factors[:, None, None], qc.relu)
+
+
+def forward_golden(model: ResNet18Int8, x: np.ndarray) -> np.ndarray:
+    """Pure-numpy golden forward (per sample)."""
+    s0 = model.s_input
+    xq = np.clip(np.rint(x.astype(np.float32) / np.float32(s0)),
+                 -128, 127).astype(np.int8)
+    logits = np.empty((x.shape[0], model.num_classes), np.float32)
+    for n in range(x.shape[0]):
+        a = _g_conv(model.stem, xq[n])
+        if not model.small_input:
+            a = golden.maxpool2d_int8(a, 3, 2, padding=1)
+        for blk in model.blocks:
+            y = _g_conv(blk.conv1, a)
+            y = _g_conv(blk.conv2, y)
+            r = _g_conv(blk.downsample, a) if blk.downsample is not None \
+                else a
+            s = (y.astype(np.float32) * np.float32(blk.s_main)
+                 + r.astype(np.float32) * np.float32(blk.s_res))
+            q = np.rint(s / np.float32(blk.s_out))
+            q = np.clip(q, -128, 127)
+            a = np.maximum(q, 0).astype(np.int8)
+        a = golden.avgpool_global_int8(a).reshape(1, -1)
+        acc = golden.matmul_int8(a, model.fc_w.T).astype(np.int64) \
+            + model.fc_b[None, :]
+        logits[n] = acc.astype(np.int32).astype(np.float32) \
+            * model.fc_deq[None, :]
+    return logits

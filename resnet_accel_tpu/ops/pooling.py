@@ -13,16 +13,17 @@ import jax.numpy as jnp
 
 
 def maxpool2d_int8(
-    x: jnp.ndarray, pool_size: int, stride: int
+    x: jnp.ndarray, pool_size: int, stride: int, padding: int = 0
 ) -> jnp.ndarray:
-    """[N, C, H, W] int8 -> window max, VALID padding (golden maxpool)."""
+    """[N, C, H, W] int8 -> window max.  Padding cells hold INT8_MIN so
+    they never win (matches golden maxpool2d_int8 with padding)."""
     return jax.lax.reduce_window(
         x,
         jnp.int8(-128),
         jax.lax.max,
         window_dimensions=(1, 1, pool_size, pool_size),
         window_strides=(1, 1, stride, stride),
-        padding="VALID",
+        padding=((0, 0), (0, 0), (padding, padding), (padding, padding)),
     )
 
 

@@ -1,0 +1,41 @@
+"""Runtime: inference engine, backend seam, performance metrics."""
+
+from resnet_accel_tpu.runtime.backend import (
+    resolve_backend,
+    interpret_mode,
+    default_device,
+)
+from resnet_accel_tpu.runtime.engine import (
+    InferenceEngine,
+    InferenceResult,
+    AcceleratorError,
+    AccelErrorCode,
+    preprocess_imagenet,
+    preprocess_mnist,
+    softmax,
+    top_k,
+)
+from resnet_accel_tpu.runtime.perf import (
+    PerfMetrics,
+    PerfTimer,
+    LayerProfiler,
+    trace_profile,
+)
+
+__all__ = [
+    "resolve_backend",
+    "interpret_mode",
+    "default_device",
+    "InferenceEngine",
+    "InferenceResult",
+    "AcceleratorError",
+    "AccelErrorCode",
+    "preprocess_imagenet",
+    "preprocess_mnist",
+    "softmax",
+    "top_k",
+    "PerfMetrics",
+    "PerfTimer",
+    "LayerProfiler",
+    "trace_profile",
+]

@@ -1,0 +1,179 @@
+"""Inference engine — the working realization of the reference's
+ResNetInference / AcceleratorDriver APIs.
+
+Reference parity (hw/sim/cpp/include/resnet_inference.hpp:180-300,
+accelerator_driver.hpp:406-639):
+- load_model / run_inference / benchmark / verify_accuracy /
+  get_model_sparsity, softmax + top-k, ImageNet & MNIST preprocessing
+- typed errors + timeout wrapper (the driver's wait_done/timeout path)
+- the AXIBackend seam becomes the backend argument (tpu / cpu / golden)
+
+Where the reference's run_inference was a stub returning class 281
+(resnet_inference.cpp:210-246), this one runs the real network.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnet_accel_tpu.runtime import backend as backend_mod
+from resnet_accel_tpu.runtime.perf import LayerProfiler, PerfMetrics
+
+
+class AccelErrorCode(enum.Enum):
+    """Typed error codes (AcceleratorError parity,
+    accelerator_driver.hpp:335-352)."""
+
+    INVALID_CONFIG = "invalid_config"
+    TIMEOUT = "timeout"
+    BACKEND_UNAVAILABLE = "backend_unavailable"
+    MODEL_NOT_LOADED = "model_not_loaded"
+
+
+class AcceleratorError(RuntimeError):
+    def __init__(self, code: AccelErrorCode, msg: str):
+        super().__init__(f"[{code.value}] {msg}")
+        self.code = code
+
+
+# ImageNet preprocessing constants (resnet_inference.cpp:180).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess_imagenet(images_u8: np.ndarray) -> np.ndarray:
+    """[N, H, W, 3] uint8 -> normalized [N, 3, H, W] float32."""
+    x = images_u8.astype(np.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+
+
+def preprocess_mnist(images_u8: np.ndarray) -> np.ndarray:
+    """[N, 28, 28] uint8 -> normalized [N, 1, 28, 28] float32."""
+    x = images_u8.astype(np.float32) / 255.0
+    x = (x - 0.1307) / 0.3081
+    return x.reshape(-1, 1, 28, 28)
+
+
+def softmax(logits: np.ndarray) -> np.ndarray:
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def top_k(logits: np.ndarray, k: int = 5) -> List[List[Tuple[int, float]]]:
+    """Per-sample [(class, prob)] best-first (resnet_inference softmax+topk)."""
+    probs = softmax(logits)
+    idx = np.argsort(-probs, axis=-1)[:, :k]
+    return [[(int(i), float(probs[n, i])) for i in idx[n]]
+            for n in range(logits.shape[0])]
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    """run_inference output (InferenceResult parity)."""
+
+    logits: np.ndarray
+    predictions: np.ndarray
+    top5: List[List[Tuple[int, float]]]
+    latency_s: float
+
+    @property
+    def images_per_s(self) -> float:
+        n = self.logits.shape[0]
+        return n / self.latency_s if self.latency_s else 0.0
+
+
+class InferenceEngine:
+    """Load a quantized model once, run batched INT8 inference many times.
+
+    ``model`` is any object exposing as_device_params(); ``make_forward``
+    is its forward builder (models.mnist_cnn.make_forward or
+    models.resnet18.make_forward).
+    """
+
+    def __init__(
+        self,
+        model,
+        make_forward: Callable,
+        backend: Optional[str] = None,
+        use_pallas: bool = True,
+        timeout_s: float = 300.0,
+    ):
+        self.backend = backend_mod.resolve_backend(backend)
+        self.timeout_s = timeout_s
+        self.model = model
+        use_pallas = use_pallas and self.backend != "golden"
+        self._fwd = jax.jit(
+            make_forward(model, use_pallas=use_pallas,
+                         backend=self.backend))
+        # Weight upload happens once here — the TPU-native analog of the
+        # reference's load_sparse_weights DMA (accel.py:177-236).
+        device = backend_mod.default_device(self.backend)
+        with jax.default_device(device):
+            self.params = jax.device_put(model.as_device_params(), device)
+        self.profiler = LayerProfiler()
+        self._compiled_shapes = set()
+
+    # ------------------------------------------------------------------ api
+    def run_inference(self, x: np.ndarray, k: int = 5) -> InferenceResult:
+        """Forward a batch; mirrors run_layer's start/wait_done/timeout."""
+        if x.ndim != 4:
+            raise AcceleratorError(
+                AccelErrorCode.INVALID_CONFIG,
+                f"expected NCHW input, got shape {x.shape}")
+        t0 = time.perf_counter()
+        out = self._fwd(self.params, jnp.asarray(x, jnp.float32))
+        try:
+            out = jax.block_until_ready(out)
+        except Exception as e:  # device-side failure surfaces here
+            raise AcceleratorError(AccelErrorCode.BACKEND_UNAVAILABLE,
+                                   str(e))
+        dt = time.perf_counter() - t0
+        if dt > self.timeout_s:
+            raise AcceleratorError(
+                AccelErrorCode.TIMEOUT,
+                f"inference took {dt:.1f}s > timeout {self.timeout_s}s")
+        logits = np.asarray(out)
+        return InferenceResult(
+            logits=logits,
+            predictions=logits.argmax(axis=-1),
+            top5=top_k(logits, k=min(k, logits.shape[-1])),
+            latency_s=dt)
+
+    def benchmark(self, x: np.ndarray, iters: int = 10) -> PerfMetrics:
+        """Steady-state throughput (ResNetInference::benchmark parity)."""
+        xj = jnp.asarray(x, jnp.float32)
+        out = self._fwd(self.params, xj)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = self._fwd(self.params, xj)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        m = PerfMetrics(name="forward", latency_s=best,
+                        total_ops=0, bytes_accessed=0)
+        self.profiler.add(m)
+        return m
+
+    def verify_accuracy(
+        self, x: np.ndarray, labels: Sequence[int]
+    ) -> float:
+        """Top-1 accuracy over a labeled set (verify_accuracy parity)."""
+        res = self.run_inference(x)
+        return float((res.predictions == np.asarray(labels)).mean())
+
+    def get_model_sparsity(self) -> Dict[str, float]:
+        """Per-layer block sparsity if the model carries BSR weights."""
+        # Models expose .sparsity_report() when sparse; dense models: {}.
+        if hasattr(self.model, "sparsity_report"):
+            return self.model.sparsity_report()
+        return {}

@@ -1,0 +1,139 @@
+"""Performance counters and metrics — PerfCounters/PerfMetrics parity.
+
+The reference counts cycles in hardware (hw/rtl/monitor/perf.sv:83,
+non-intrusive total/active/idle, latched on done) and derives utilization,
+GOPS, latency, bandwidth and operational intensity
+(hw/sim/cpp/include/performance_counters.hpp:51-95).  The TPU equivalent
+measures wall-clock around dispatches and derives the same fields against
+the chip's roofline.
+
+TPU v5e single-chip roofline constants (public figures):
+    peak INT8  ~394 TOPS, peak BF16 ~197 TFLOPS, HBM ~819 GB/s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+
+#: Public peak numbers for TPU v5e (1 chip).
+PEAK_INT8_OPS = 394e12
+PEAK_BF16_FLOPS = 197e12
+HBM_BYTES_PER_S = 819e9
+
+
+@dataclasses.dataclass
+class PerfMetrics:
+    """Derived metrics for one measured region (PerfMetrics parity)."""
+
+    name: str
+    latency_s: float
+    total_ops: int
+    bytes_accessed: int
+    iters: int = 1
+
+    @property
+    def gops(self) -> float:
+        return self.total_ops / self.latency_s / 1e9 if self.latency_s else 0.0
+
+    @property
+    def utilization(self) -> float:
+        """Fraction of the chip's INT8 peak achieved (MXU utilization)."""
+        return self.total_ops / self.latency_s / PEAK_INT8_OPS \
+            if self.latency_s else 0.0
+
+    @property
+    def bandwidth_gbs(self) -> float:
+        return self.bytes_accessed / self.latency_s / 1e9 \
+            if self.latency_s else 0.0
+
+    @property
+    def operational_intensity(self) -> float:
+        """ops/byte — roofline x-coordinate."""
+        return self.total_ops / self.bytes_accessed \
+            if self.bytes_accessed else 0.0
+
+    @property
+    def roofline_bound(self) -> str:
+        """'compute' or 'memory' per the v5e roofline ridge point."""
+        ridge = PEAK_INT8_OPS / HBM_BYTES_PER_S
+        return "compute" if self.operational_intensity >= ridge else "memory"
+
+    def report(self) -> str:
+        """Human-readable report (print_performance_report parity)."""
+        return (
+            f"[{self.name}] {self.latency_s * 1e6:.0f} us | "
+            f"{self.gops:.1f} GOPS | util {self.utilization * 100:.1f}% | "
+            f"{self.bandwidth_gbs:.1f} GB/s | "
+            f"OI {self.operational_intensity:.1f} ops/B "
+            f"({self.roofline_bound}-bound)")
+
+
+class PerfTimer:
+    """Measure a jitted callable like the hardware perf block measures a
+    layer: warm up (compile), then time N dispatches, latch best/mean."""
+
+    def __init__(self, warmup: int = 1, iters: int = 10):
+        self.warmup = warmup
+        self.iters = iters
+
+    def measure(
+        self,
+        name: str,
+        fn: Callable,
+        *args,
+        total_ops: int = 0,
+        bytes_accessed: int = 0,
+    ) -> PerfMetrics:
+        for _ in range(self.warmup):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(self.iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return PerfMetrics(name=name, latency_s=best, total_ops=total_ops,
+                           bytes_accessed=bytes_accessed, iters=self.iters)
+
+
+class LayerProfiler:
+    """Collect per-layer PerfMetrics across a model run (the CSR perf
+    register readout loop of accel.py get_performance_stats)."""
+
+    def __init__(self):
+        self.records: List[PerfMetrics] = []
+
+    def add(self, m: PerfMetrics) -> None:
+        self.records.append(m)
+
+    def summary(self) -> Dict[str, float]:
+        total_t = sum(r.latency_s for r in self.records)
+        total_ops = sum(r.total_ops for r in self.records)
+        return {
+            "total_latency_s": total_t,
+            "total_ops": total_ops,
+            "overall_gops": total_ops / total_t / 1e9 if total_t else 0.0,
+            "layers": len(self.records),
+        }
+
+    def report(self) -> str:
+        lines = [r.report() for r in self.records]
+        s = self.summary()
+        lines.append(
+            f"[total] {s['total_latency_s'] * 1e6:.0f} us | "
+            f"{s['overall_gops']:.1f} GOPS over {s['layers']} layers")
+        return "\n".join(lines)
+
+
+def trace_profile(fn: Callable, *args, logdir: str = "/tmp/rat_trace"):
+    """Capture a jax.profiler trace around one dispatch (VCD-waveform
+    analog; inspect with TensorBoard/xprof)."""
+    with jax.profiler.trace(logdir):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return logdir

@@ -1,0 +1,119 @@
+"""Runtime engine + perf tests (SoftwareModelBackend pattern: no TPU)."""
+
+import numpy as np
+import pytest
+
+from resnet_accel_tpu.models.resnet18 import (
+    init_resnet18_fp32,
+    quantize_resnet18,
+    make_forward,
+)
+from resnet_accel_tpu.runtime import (
+    InferenceEngine,
+    AcceleratorError,
+    AccelErrorCode,
+    preprocess_imagenet,
+    preprocess_mnist,
+    softmax,
+    top_k,
+    PerfMetrics,
+    PerfTimer,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_resnet18_fp32(seed=0, num_classes=10, small_input=True)
+    rng = np.random.default_rng(1)
+    calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    model = quantize_resnet18(params, calib, 10, small_input=True)
+    return InferenceEngine(model, make_forward, backend="cpu")
+
+
+class TestEngine:
+    def test_run_inference(self, engine):
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (3, 3, 32, 32)).astype(np.float32)
+        res = engine.run_inference(x)
+        assert res.logits.shape == (3, 10)
+        assert res.predictions.shape == (3,)
+        assert len(res.top5) == 3 and len(res.top5[0]) == 5
+        # top5 probabilities sorted descending
+        probs = [p for _, p in res.top5[0]]
+        assert probs == sorted(probs, reverse=True)
+        assert res.images_per_s > 0
+
+    def test_invalid_input_shape(self, engine):
+        with pytest.raises(AcceleratorError) as ei:
+            engine.run_inference(np.zeros((3, 32, 32), np.float32))
+        assert ei.value.code == AccelErrorCode.INVALID_CONFIG
+
+    def test_verify_accuracy_runs(self, engine):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (4, 3, 32, 32)).astype(np.float32)
+        acc = engine.verify_accuracy(x, [0, 1, 2, 3])
+        assert 0.0 <= acc <= 1.0
+
+    def test_benchmark(self, engine):
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        m = engine.benchmark(x, iters=2)
+        assert m.latency_s > 0
+
+    def test_deterministic_across_calls(self, engine):
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        a = engine.run_inference(x).logits
+        b = engine.run_inference(x).logits
+        np.testing.assert_array_equal(a, b)
+
+
+class TestPreprocess:
+    def test_imagenet(self):
+        img = np.full((1, 224, 224, 3), 128, np.uint8)
+        x = preprocess_imagenet(img)
+        assert x.shape == (1, 3, 224, 224)
+        expected = (128 / 255.0 - 0.485) / 0.229
+        assert abs(x[0, 0, 0, 0] - expected) < 1e-6
+
+    def test_mnist(self):
+        img = np.zeros((2, 28, 28), np.uint8)
+        x = preprocess_mnist(img)
+        assert x.shape == (2, 1, 28, 28)
+        assert abs(x[0, 0, 0, 0] - (-0.1307 / 0.3081)) < 1e-4
+
+
+class TestSoftmaxTopK:
+    def test_softmax_sums_to_one(self):
+        logits = np.array([[1.0, 2.0, 3.0]], np.float32)
+        p = softmax(logits)
+        assert abs(p.sum() - 1.0) < 1e-6
+        assert p.argmax() == 2
+
+    def test_top_k(self):
+        logits = np.array([[0.1, 5.0, 2.0, -1.0]], np.float32)
+        t = top_k(logits, k=2)
+        assert t[0][0][0] == 1 and t[0][1][0] == 2
+
+
+class TestPerf:
+    def test_metrics_fields(self):
+        m = PerfMetrics("x", latency_s=1e-3, total_ops=2 * 10**9,
+                        bytes_accessed=10**6)
+        assert abs(m.gops - 2000) < 1e-6
+        assert 0 < m.utilization < 1
+        assert m.operational_intensity == 2000.0
+        assert m.roofline_bound == "compute"
+        assert "GOPS" in m.report()
+
+    def test_memory_bound_detection(self):
+        m = PerfMetrics("y", latency_s=1e-3, total_ops=10**6,
+                        bytes_accessed=10**8)
+        assert m.roofline_bound == "memory"
+
+    def test_perf_timer(self):
+        import jax.numpy as jnp
+        timer = PerfTimer(warmup=1, iters=2)
+        m = timer.measure("add", lambda a: a + 1, jnp.zeros((8, 8)),
+                          total_ops=64)
+        assert m.latency_s > 0
