@@ -1,0 +1,292 @@
+"""Command-line interface — parity with the reference CLIs.
+
+Subcommands (reference hw/sim/cpp/main.cpp:20-24 infer/test/bench/sim,
+plus the argparse script CLIs of the sw/ pipeline):
+
+    infer     run INT8 inference on an image/array file
+    test      run the self-test suite (goldens + kernels, software model)
+    bench     benchmark throughput (dense + sparse)
+    quantize  FP32 checkpoint -> per-channel INT8 artifacts
+    export    dense/quantized weights -> BSR artifact directories
+    train     train the MNIST CNN (optionally with block pruning)
+    sim       run the golden software model on an artifact (no TPU)
+
+Usage: python -m resnet_accel_tpu <subcommand> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_infer(args):
+    import jax.numpy as jnp
+    from resnet_accel_tpu.runtime import InferenceEngine, preprocess_mnist
+
+    x = np.load(args.input)
+    if args.model == "mnist":
+        from resnet_accel_tpu.models.mnist_cnn import (
+            MNISTCNNInt8, make_forward)
+        model = MNISTCNNInt8.from_int8_dir(args.weights, x)
+        xin = preprocess_mnist(x.astype(np.uint8)) if x.ndim == 3 else x
+        eng = InferenceEngine(model, make_forward, backend=args.backend)
+        res = eng.run_inference(xin[:args.limit])
+    else:
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward)
+        fp32 = init_resnet18_fp32(seed=0, num_classes=args.num_classes,
+                                  small_input=args.small_input)
+        calib = x[:4].astype(np.float32)
+        model = quantize_resnet18(fp32, calib, args.num_classes,
+                                  small_input=args.small_input)
+        eng = InferenceEngine(model, make_forward, backend=args.backend)
+        res = eng.run_inference(x[:args.limit].astype(np.float32))
+    for i, (pred, t5) in enumerate(zip(res.predictions, res.top5)):
+        top = ", ".join(f"{c}:{p:.3f}" for c, p in t5[:3])
+        print(f"sample {i}: class {pred}  (top3: {top})")
+    print(f"{res.images_per_s:.1f} images/s")
+    return 0
+
+
+def cmd_test(args):
+    import pytest
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests")
+    return pytest.main([tests_dir, "-q"] + (["-x"] if args.fail_fast
+                                            else []))
+
+
+def cmd_bench(args):
+    """Dense + sparse GEMM benchmark sweep (benchmark_sparse.py parity:
+    sizes x sparsities, GOPS + speedup table vs dense)."""
+    import jax
+    import jax.numpy as jnp
+    from resnet_accel_tpu.ops.bsr_matmul import (
+        pack_kernel_bsr, bsr_matmul_wt)
+    from resnet_accel_tpu.sparse import build_bsr_int8_direct
+    from resnet_accel_tpu.runtime.perf import PerfTimer
+
+    rng = np.random.default_rng(0)
+    sizes = [int(s) for s in args.sizes.split(",")]
+    sparsities = [float(s) for s in args.sparsities.split(",")]
+    timer = PerfTimer(warmup=1, iters=args.iters)
+    rows = []
+    for n in sizes:
+        M = args.batch
+        base_dt = None
+        for sp in sparsities:
+            W = rng.integers(-128, 128, (n, n)).astype(np.int8)
+            nb = n // 128
+            mask = rng.random((nb, nb)) < sp
+            for br in range(nb):
+                for bc in range(nb):
+                    if mask[br, bc]:
+                        W[br * 128:(br + 1) * 128,
+                          bc * 128:(bc + 1) * 128] = 0
+            kb = pack_kernel_bsr(build_bsr_int8_direct(W, 128), chunk=16)
+            A = jnp.asarray(rng.integers(-128, 128, (M, n)).astype(np.int8))
+            fwd = jax.jit(lambda a, kb=kb: bsr_matmul_wt(a, kb))
+            m = timer.measure(f"n{n}_sp{sp}", fwd, A,
+                              total_ops=2 * M * kb.nnz * 128 * 128)
+            if sp == sparsities[0]:
+                base_dt = m.latency_s
+            rows.append({
+                "M": M, "N": n, "K": n, "sparsity": sp,
+                "latency_us": round(m.latency_s * 1e6, 1),
+                "gops": round(m.gops, 1),
+                "speedup_vs_dense": round(base_dt / m.latency_s, 2),
+            })
+            print(rows[-1])
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
+def cmd_quantize(args):
+    from resnet_accel_tpu.quant import quantize_params_per_channel
+    from resnet_accel_tpu.train.mnist import load_checkpoint
+
+    params = load_checkpoint(args.checkpoint)
+    q = quantize_params_per_channel(params)
+    os.makedirs(args.output, exist_ok=True)
+    metadata = {}
+    for pname, pdata in q.items():
+        lname = pname.replace(".", "_")
+        np.save(os.path.join(args.output, f"{lname}_int8.npy"),
+                pdata["data"])
+        if "scales" in pdata:
+            np.save(os.path.join(args.output, f"{lname}_scales.npy"),
+                    pdata["scales"])
+        else:
+            with open(os.path.join(args.output,
+                                   f"{lname}_scale.json"), "w") as f:
+                json.dump({"scale": float(pdata["scale"])}, f)
+        metadata[pname] = {
+            "shape": list(pdata["shape"]),
+            "quantization": "per_channel" if "scales" in pdata
+            else "per_tensor",
+            "error": pdata["error"],
+        }
+        print(f"quantized {pname}: shape {pdata['shape']} "
+              f"SNR {pdata['error']['snr_db']:.1f} dB")
+    with open(os.path.join(args.output,
+                           "quantization_metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2)
+    return 0
+
+
+def cmd_export(args):
+    from resnet_accel_tpu.sparse import (
+        build_bsr_int8_direct, build_bsr, save_layer_dir)
+
+    w = np.load(args.weights)
+    if w.ndim == 4:
+        w = w.reshape(w.shape[0], -1)
+    if w.dtype == np.int8:
+        bsr = build_bsr_int8_direct(w, args.block_h, args.block_w)
+    else:
+        scales = (np.load(args.scales) if args.scales
+                  else np.maximum(np.abs(w).max(axis=1) / 127.0, 1e-12))
+        bsr = build_bsr(w, args.block_h, args.block_w,
+                        threshold=args.threshold, quantize=True,
+                        scales=scales)
+    save_layer_dir(bsr, args.output, args.name)
+    print(f"exported {args.name}: {bsr.nnz_blocks} blocks "
+          f"({bsr.sparsity_pct:.1f}% sparse), "
+          f"compression {bsr.compression_ratio():.1f}x")
+    return 0
+
+
+def cmd_train(args):
+    from resnet_accel_tpu.train import train_mnist, save_checkpoint
+    from resnet_accel_tpu.utils.mnist_data import load_mnist_split
+
+    imgs, labels = load_mnist_split(args.data, args.split)
+    res = train_mnist(imgs, labels, epochs=args.epochs,
+                      batch_size=args.batch_size, lr=args.lr,
+                      seed=args.seed)
+    print(f"best eval acc: {res.best_acc:.4f}")
+    if args.prune:
+        from resnet_accel_tpu.train import (
+            BlockCfg, progressive_prune, sparsity_of_masks)
+        cfgs = {"fc1.weight": BlockCfg(128, 128, 0.05),
+                "fc2.weight": BlockCfg(8, 8, 0.05)}
+
+        def finetune(params, mask_fn, reg_fn):
+            r = train_mnist(imgs, labels, epochs=1,
+                            batch_size=args.batch_size, seed=args.seed,
+                            mask_fn=mask_fn, reg_fn=reg_fn, params=params)
+            print(f"  finetune acc: {r.best_acc:.4f}")
+            return r.params
+
+        pruned, masks = progressive_prune(
+            res.params, finetune, cfgs,
+            schedule=[float(s) for s in args.schedule.split(",")])
+        res.params.update(pruned)
+        print(f"final block sparsity: {sparsity_of_masks(masks):.1%}")
+    if args.output:
+        save_checkpoint(res, args.output)
+        print(f"saved checkpoint to {args.output}")
+    return 0
+
+
+def cmd_sim(args):
+    """Golden software model on a BSR artifact (the Verilator-harness
+    role of test_mnist_bsr.cpp: load artifact, run golden, dump)."""
+    from resnet_accel_tpu.golden import bsr_matmul_int8_wt
+    from resnet_accel_tpu.sparse import load_layer_dir
+
+    bsr = load_layer_dir(args.artifact)
+    bsr.validate()
+    K = bsr.padded_shape[1]
+    act = ((np.arange(K) % 256) - 128).astype(np.int8).reshape(1, K)
+    out = bsr_matmul_int8_wt(act, bsr.data, bsr.row_ptr, bsr.col_idx,
+                             bsr.block_h, bsr.block_w)
+    print(f"artifact: {args.artifact}")
+    print(f"  shape {bsr.shape} padded {bsr.padded_shape} "
+          f"blocks {bsr.nnz_blocks} ({bsr.sparsity_pct:.1f}% sparse)")
+    print(f"  golden output[:8]: {out[0, :8].tolist()}")
+    if args.output:
+        np.save(args.output, out)
+        print(f"  saved golden output to {args.output}")
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="resnet_accel_tpu",
+        description="TPU-native INT8 block-sparse CNN framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="run INT8 inference")
+    pi.add_argument("--model", choices=["mnist", "resnet18"],
+                    default="mnist")
+    pi.add_argument("--weights", default="/root/reference/data/int8")
+    pi.add_argument("--input", required=True,
+                    help=".npy image array")
+    pi.add_argument("--limit", type=int, default=8)
+    pi.add_argument("--backend", default=None)
+    pi.add_argument("--num-classes", type=int, default=1000)
+    pi.add_argument("--small-input", action="store_true")
+    pi.set_defaults(fn=cmd_infer)
+
+    pt = sub.add_parser("test", help="run the test suite")
+    pt.add_argument("--fail-fast", action="store_true")
+    pt.set_defaults(fn=cmd_test)
+
+    pb = sub.add_parser("bench", help="benchmark dense + sparse GEMM")
+    pb.add_argument("--sizes", default="2048,4096")
+    pb.add_argument("--sparsities", default="0.0,0.5,0.7,0.9")
+    pb.add_argument("--batch", type=int, default=512)
+    pb.add_argument("--iters", type=int, default=5)
+    pb.add_argument("--output", default=None)
+    pb.set_defaults(fn=cmd_bench)
+
+    pq = sub.add_parser("quantize", help="FP32 checkpoint -> INT8")
+    pq.add_argument("--checkpoint", required=True)
+    pq.add_argument("--output", required=True)
+    pq.set_defaults(fn=cmd_quantize)
+
+    pe = sub.add_parser("export", help="weights -> BSR artifact")
+    pe.add_argument("--weights", required=True, help=".npy weight matrix")
+    pe.add_argument("--scales", default=None)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--name", default="layer")
+    pe.add_argument("--block-h", type=int, default=14)
+    pe.add_argument("--block-w", type=int, default=14)
+    pe.add_argument("--threshold", type=float, default=1e-10)
+    pe.set_defaults(fn=cmd_export)
+
+    ptr = sub.add_parser("train", help="train the MNIST CNN")
+    ptr.add_argument("--data", default="/root/reference/data/MNIST/raw")
+    ptr.add_argument("--split", default="t10k")
+    ptr.add_argument("--epochs", type=int, default=2)
+    ptr.add_argument("--batch-size", type=int, default=128)
+    ptr.add_argument("--lr", type=float, default=1e-3)
+    ptr.add_argument("--seed", type=int, default=1917)
+    ptr.add_argument("--prune", action="store_true")
+    ptr.add_argument("--schedule", default="0.5,0.7,0.85,0.9")
+    ptr.add_argument("--output", default=None)
+    ptr.set_defaults(fn=cmd_train)
+
+    ps = sub.add_parser("sim", help="golden software model on artifact")
+    ps.add_argument("--artifact", required=True)
+    ps.add_argument("--output", default=None)
+    ps.set_defaults(fn=cmd_sim)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -203,6 +203,7 @@ def make_forward(
     model: MNISTCNNInt8,
     use_pallas: bool = True,
     backend: Optional[str] = None,
+    conv_method: str = "native",
 ):
     """Build the jit-able INT8 forward: fp32 NCHW images -> fp32 logits."""
     s0, s1, s2, s3 = model.act_scales
@@ -211,10 +212,12 @@ def make_forward(
         xq = quantize_input(x, s0)
         a = conv2d_int8(xq, params["conv1_w"], bias=params["conv1_b"],
                         kernel=3, factors=params["conv1_f"], relu=True,
-                        use_pallas=use_pallas, backend=backend)
+                        use_pallas=use_pallas, backend=backend,
+                        method=conv_method)
         a = conv2d_int8(a, params["conv2_w"], bias=params["conv2_b"],
                         kernel=3, factors=params["conv2_f"], relu=True,
-                        use_pallas=use_pallas, backend=backend)
+                        use_pallas=use_pallas, backend=backend,
+                        method=conv_method)
         a = maxpool2d_int8(a, 2, 2)
         a = a.reshape(a.shape[0], -1)
         a = matmul_int8(a, params["fc1_wT"], bias=params["fc1_b"],

@@ -349,7 +349,8 @@ def quantize_resnet18(
 # ==========================================================================
 
 def make_forward(model: ResNet18Int8, use_pallas: bool = True,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None,
+                 conv_method: str = "native"):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits."""
 
     def run_conv(params, prefix, qc: QConv, x):
@@ -357,7 +358,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             x, params[f"{prefix}.w"], bias=params[f"{prefix}.b"],
             kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
             factors=params[f"{prefix}.f"], relu=qc.relu,
-            use_pallas=use_pallas, backend=backend)
+            use_pallas=use_pallas, backend=backend, method=conv_method)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
         a = quantize_input(x, model.s_input)

@@ -64,7 +64,8 @@ class KernelBSR:
     blocks: jnp.ndarray      # [nnz_pad, block_w, block_h] int8 (pre-transposed)
     col_of: jnp.ndarray      # [nnz_pad] int32 — K-block index into A
     row_of: jnp.ndarray      # [nnz_pad] int32 — N-block index into C
-    flags: jnp.ndarray       # [nnz_pad, 2] int32 — (is_first, is_last)
+    first_of: jnp.ndarray    # [nnz_pad] int32 — 1 on a row's first block
+    last_of: jnp.ndarray     # [nnz_pad] int32 — 1 on a row's last block
     nnz: int                 # scheduled blocks (incl. fillers and padding)
     chunk: int               # blocks per resident-mode grid step
     block_h: int
@@ -126,12 +127,12 @@ def pack_kernel_bsr(bsr: BSRMatrix, chunk: int = 8) -> KernelBSR:
 
     blocks = np.stack(blocks_list) if blocks_list else \
         np.zeros((0, bw, bh), np.int8)
-    flags = np.stack([first, last], axis=1).astype(np.int32)
     return KernelBSR(
         blocks=jnp.asarray(blocks),
         col_of=jnp.asarray(np.asarray(col_of, np.int32)),
         row_of=jnp.asarray(np.asarray(row_of, np.int32)),
-        flags=jnp.asarray(flags),
+        first_of=jnp.asarray(np.asarray(first, np.int32)),
+        last_of=jnp.asarray(np.asarray(last, np.int32)),
         nnz=len(blocks_list),
         chunk=chunk,
         block_h=bh,
@@ -147,9 +148,9 @@ def pack_kernel_bsr(bsr: BSRMatrix, chunk: int = 8) -> KernelBSR:
 # Pallas kernel
 # --------------------------------------------------------------------------
 
-def _bsr_kernel(col_ref, row_ref, flag_ref, a_ref, w_ref, bias_ref, fct_ref,
-                o_ref, acc_ref, *, relu: bool, requant: bool,
-                has_bias: bool):
+def _bsr_kernel(col_ref, row_ref, first_ref, last_ref, a_ref, w_ref,
+                bias_ref, fct_ref, o_ref, acc_ref, *, relu: bool,
+                requant: bool, has_bias: bool):
     """One grid step consumes one nonzero block for one M tile.
 
     Grid is (m_tiles, nnz) with blocks in CSR order, so all blocks of an
@@ -158,8 +159,8 @@ def _bsr_kernel(col_ref, row_ref, flag_ref, a_ref, w_ref, bias_ref, fct_ref,
     VMEM while the output index (mt, row_of[b]) is unchanged.
     """
     b = pl.program_id(1)
-    is_first = flag_ref[b, 0] == 1
-    is_last = flag_ref[b, 1] == 1
+    is_first = first_ref[b] == 1
+    is_last = last_ref[b] == 1
 
     @pl.when(is_first)
     def _zero():
@@ -186,8 +187,9 @@ def _bsr_kernel(col_ref, row_ref, flag_ref, a_ref, w_ref, bias_ref, fct_ref,
             o_ref[:] = acc
 
 
-def _bsr_resident_kernel(col_ref, row_ref, flag_ref, a_ref, w_ref, bias_ref,
-                         fct_ref, o_ref, acc_ref, *, chunk: int,
+def _bsr_resident_kernel(col_ref, row_ref, first_ref, last_ref, a_ref,
+                         w_ref, bias_ref, fct_ref, o_ref, acc_ref, *,
+                         chunk: int,
                          n_chunks: int, bw: int, bh: int, relu: bool,
                          requant: bool, has_bias: bool):
     """Resident mode: one grid step consumes a CHUNK of blocks.
@@ -309,26 +311,26 @@ def bsr_matmul_wt(
             bw=bw, bh=bh, relu=relu, requant=requant,
             has_bias=bias is not None)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(m_tiles, n_chunks),
             in_specs=[
                 # Full activation tile resident in VMEM (act_buffer).
                 pl.BlockSpec((tile_m, Kp),
-                             lambda mt, c, col, row, flg: (mt, 0),
+                             lambda mt, c, col, row, fst, lst: (mt, 0),
                              memory_space=pltpu.VMEM),
                 # Streaming chunk of pre-transposed blocks (bsr_dma).
                 pl.BlockSpec((chunk, bw, bh),
-                             lambda mt, c, col, row, flg: (c, 0, 0),
+                             lambda mt, c, col, row, fst, lst: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Np),
-                             lambda mt, c, col, row, flg: (0, 0),
+                             lambda mt, c, col, row, fst, lst: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Np),
-                             lambda mt, c, col, row, flg: (0, 0),
+                             lambda mt, c, col, row, fst, lst: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tile_m, Np),
-                                   lambda mt, c, col, row, flg: (mt, 0),
+                                   lambda mt, c, col, row, fst, lst: (mt, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((tile_m, Np), jnp.int32)],
         )
@@ -337,26 +339,26 @@ def bsr_matmul_wt(
             _bsr_kernel, relu=relu, requant=requant,
             has_bias=bias is not None)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(m_tiles, nnz),
             in_specs=[
                 # A slab: gathered by the block's K index (act_dma gather).
                 pl.BlockSpec((tile_m, bw),
-                             lambda mt, b, col, row, flg: (mt, col[b]),
+                             lambda mt, b, col, row, fst, lst: (mt, col[b]),
                              memory_space=pltpu.VMEM),
                 # The block itself (compacted weight stream, like bsr_dma).
                 pl.BlockSpec((1, bw, bh),
-                             lambda mt, b, col, row, flg: (b, 0, 0),
+                             lambda mt, b, col, row, fst, lst: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bh),
-                             lambda mt, b, col, row, flg: (0, row[b]),
+                             lambda mt, b, col, row, fst, lst: (0, row[b]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bh),
-                             lambda mt, b, col, row, flg: (0, row[b]),
+                             lambda mt, b, col, row, fst, lst: (0, row[b]),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tile_m, bh),
-                                   lambda mt, b, col, row, flg:
+                                   lambda mt, b, col, row, fst, lst:
                                    (mt, row[b]),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((tile_m, bh), jnp.int32)],
@@ -371,7 +373,7 @@ def bsr_matmul_wt(
             bytes_accessed=nnz * (bh * bw + tile_m * bw) + Mp * Np,
             transcendentals=0),
         interpret=interpret,
-    )(kbsr.col_of, kbsr.row_of, kbsr.flags,
+    )(kbsr.col_of, kbsr.row_of, kbsr.first_of, kbsr.last_of,
       ap, kbsr.blocks, bias_p, fct_p)
 
     return out[:M, :kbsr.n_out]

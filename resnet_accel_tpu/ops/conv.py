@@ -18,6 +18,9 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
+from resnet_accel_tpu.ops.epilogue import requantize
 from resnet_accel_tpu.ops.matmul_int8 import matmul_int8
 
 
@@ -63,6 +66,7 @@ def conv2d_int8(
     relu: bool = False,
     backend: Optional[str] = None,
     use_pallas: bool = True,
+    method: str = "native",
 ) -> jnp.ndarray:
     """Fused int8 conv(-bias)(-ReLU)(-requant): NCHW in, NCHW out.
 
@@ -72,6 +76,11 @@ def conv2d_int8(
         bias: [C_out] int32 accumulator-domain bias.
         factors: per-output-channel float32 requant factors; when given the
             output is int8, else raw int32 accumulators.
+        method: "native" — XLA's integer convolution (fastest; avoids
+            materializing the im2col patch tensor in HBM) or "im2col" —
+            explicit patches -> MXU GEMM (the reference's lowering;
+            use_pallas picks the GEMM kernel).  Both are int8xint8->int32
+            and bit-identical (int32 accumulation is order-independent).
 
     Returns:
         [N, C_out, H_out, W_out].
@@ -80,6 +89,21 @@ def conv2d_int8(
     C_out = weight2d.shape[0]
     H_out = (H + 2 * padding - kernel) // stride + 1
     W_out = (W + 2 * padding - kernel) // stride + 1
+
+    if method == "native":
+        w4d = weight2d.reshape(C_out, C, kernel, kernel)
+        acc = jax.lax.conv_general_dilated(
+            x, w4d, (stride, stride),
+            [(padding, padding), (padding, padding)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32)
+        if factors is not None:
+            return requantize(acc, factors, relu=relu, bias=bias, axis=1)
+        if bias is not None:
+            acc = acc + bias.astype(jnp.int32)[None, :, None, None]
+        if relu:
+            acc = jnp.maximum(acc, 0)
+        return acc
 
     patches = im2col_nchw(x, kernel, stride, padding)   # [N, P, CKK]
     a = patches.reshape(N * H_out * W_out, -1)          # [N*P, CKK]

@@ -1,0 +1,23 @@
+"""Multi-chip scaling: device meshes, sharded training and serving."""
+
+from resnet_accel_tpu.parallel.mesh import (
+    available_devices,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    tp_row_sharding,
+)
+from resnet_accel_tpu.parallel.sharded import (
+    make_sharded_train_step,
+    make_data_parallel_forward,
+)
+
+__all__ = [
+    "available_devices",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "tp_row_sharding",
+    "make_sharded_train_step",
+    "make_data_parallel_forward",
+]

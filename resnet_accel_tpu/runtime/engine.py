@@ -116,9 +116,10 @@ class InferenceEngine:
                          backend=self.backend))
         # Weight upload happens once here — the TPU-native analog of the
         # reference's load_sparse_weights DMA (accel.py:177-236).
-        device = backend_mod.default_device(self.backend)
-        with jax.default_device(device):
-            self.params = jax.device_put(model.as_device_params(), device)
+        self._device = backend_mod.default_device(self.backend)
+        with jax.default_device(self._device):
+            self.params = jax.device_put(model.as_device_params(),
+                                         self._device)
         self.profiler = LayerProfiler()
         self._compiled_shapes = set()
 
@@ -130,7 +131,10 @@ class InferenceEngine:
                 AccelErrorCode.INVALID_CONFIG,
                 f"expected NCHW input, got shape {x.shape}")
         t0 = time.perf_counter()
-        out = self._fwd(self.params, jnp.asarray(x, jnp.float32))
+        with jax.default_device(self._device):
+            out = self._fwd(self.params,
+                            jax.device_put(jnp.asarray(x, jnp.float32),
+                                           self._device))
         try:
             out = jax.block_until_ready(out)
         except Exception as e:  # device-side failure surfaces here
@@ -150,15 +154,15 @@ class InferenceEngine:
 
     def benchmark(self, x: np.ndarray, iters: int = 10) -> PerfMetrics:
         """Steady-state throughput (ResNetInference::benchmark parity)."""
-        xj = jnp.asarray(x, jnp.float32)
-        out = self._fwd(self.params, xj)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
+        with jax.default_device(self._device):
+            xj = jax.device_put(jnp.asarray(x, jnp.float32), self._device)
             out = self._fwd(self.params, xj)
             jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                out = np.asarray(self._fwd(self.params, xj))
+                best = min(best, time.perf_counter() - t0)
         m = PerfMetrics(name="forward", latency_s=best,
                         total_ops=0, bytes_accessed=0)
         self.profiler.add(m)

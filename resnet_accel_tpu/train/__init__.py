@@ -1,0 +1,47 @@
+"""JAX training: dense trainers + progressive block-sparse pruning."""
+
+from resnet_accel_tpu.train.mnist import (
+    init_mnist_params,
+    mnist_forward_fp32,
+    train_mnist,
+    save_checkpoint,
+    load_checkpoint,
+    export_golden_vectors,
+    TrainResult,
+)
+from resnet_accel_tpu.train.blocksparse import (
+    BlockCfg,
+    DEFAULT_FC_CFG,
+    DEFAULT_CONV_CFG,
+    REF_FC_CFG,
+    REF_CONV_CFG,
+    compute_block_norms,
+    prune_blocks_global,
+    expand_mask,
+    make_mask_fn,
+    make_group_lasso_fn,
+    sparsity_of_masks,
+    progressive_prune,
+)
+
+__all__ = [
+    "init_mnist_params",
+    "mnist_forward_fp32",
+    "train_mnist",
+    "save_checkpoint",
+    "load_checkpoint",
+    "export_golden_vectors",
+    "TrainResult",
+    "BlockCfg",
+    "DEFAULT_FC_CFG",
+    "DEFAULT_CONV_CFG",
+    "REF_FC_CFG",
+    "REF_CONV_CFG",
+    "compute_block_norms",
+    "prune_blocks_global",
+    "expand_mask",
+    "make_mask_fn",
+    "make_group_lasso_fn",
+    "sparsity_of_masks",
+    "progressive_prune",
+]

@@ -1,0 +1,199 @@
+"""Progressive block-sparse pruning — the reference's pruning trainer in JAX.
+
+Re-design of sw/training/blocksparse_train.py:
+- global block-L2-norm ranking across all prunable layers with per-layer
+  keep floors (prune_blocks_global :141, layer_block_cfg :52 — conv keeps
+  >=30%, FC keeps >=5%)
+- progressive sparsity schedule 50 -> 70 -> 85 -> 90% with fine-tuning
+  between levels (progressive_sparsity :282-321)
+- group-lasso (L2,1) block regularization during fine-tune
+  (train_with_group_lasso :324-395)
+- masks re-applied after every optimizer step (BlockSparsePruner
+  discipline, train_resnet18.py:282-319)
+
+TPU-first change: default block sizes are MXU-friendly (128 for FC, and
+conv blocks over the flattened [O, I*kH*kW] weight) so the pruned
+structure feeds the zero-skip kernel with full skip efficiency — the
+reference's 14x14/4x4 remain supported via BlockCfg.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCfg:
+    """Per-layer pruning config (layer_block_cfg parity)."""
+
+    block_h: int
+    block_w: int
+    min_keep: float  # fraction of blocks that must survive
+
+
+#: Defaults mirroring the reference's intent, MXU-sized: FC layers prune
+#: at 128x128 keep>=5%; conv layers at 32x32 on the flattened weight
+#: keep>=30%.
+DEFAULT_FC_CFG = BlockCfg(128, 128, 0.05)
+DEFAULT_CONV_CFG = BlockCfg(32, 32, 0.30)
+#: Reference-native sizes for exact replay of its flow.
+REF_FC_CFG = BlockCfg(8, 8, 0.05)
+REF_CONV_CFG = BlockCfg(4, 4, 0.30)
+
+
+def _as_2d(w: np.ndarray) -> np.ndarray:
+    return w.reshape(w.shape[0], -1)
+
+
+def compute_block_norms(
+    w: np.ndarray, cfg: BlockCfg
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """L2 norm of each (padded) block of the flattened weight.
+
+    Returns (norms [nbr, nbc], (nbr, nbc)).
+    """
+    w2 = _as_2d(np.asarray(w, np.float32))
+    H, W = w2.shape
+    ph, pw = -H % cfg.block_h, -W % cfg.block_w
+    if ph or pw:
+        w2 = np.pad(w2, ((0, ph), (0, pw)))
+    nbr, nbc = w2.shape[0] // cfg.block_h, w2.shape[1] // cfg.block_w
+    t = w2.reshape(nbr, cfg.block_h, nbc, cfg.block_w)
+    norms = np.sqrt((t.astype(np.float64) ** 2).sum(axis=(1, 3)))
+    return norms, (nbr, nbc)
+
+
+def prune_blocks_global(
+    params: Mapping[str, np.ndarray],
+    target_sparsity: float,
+    cfgs: Mapping[str, BlockCfg],
+) -> Dict[str, np.ndarray]:
+    """Rank ALL blocks across layers by L2 norm, zero the weakest.
+
+    Per-layer keep floors are honored: a layer never drops below
+    cfg.min_keep of its blocks (prune_blocks_global :141-239).
+
+    Returns {layer_name: boolean keep-mask [nbr, nbc]}.
+    """
+    entries = []  # (norm, layer, br, bc)
+    geom = {}
+    for name, cfg in cfgs.items():
+        norms, (nbr, nbc) = compute_block_norms(params[name], cfg)
+        geom[name] = (nbr, nbc)
+        for br in range(nbr):
+            for bc in range(nbc):
+                entries.append((norms[br, bc], name, br, bc))
+
+    total = len(entries)
+    n_prune = int(total * target_sparsity)
+    entries.sort(key=lambda e: e[0])
+
+    masks = {name: np.ones(geom[name], dtype=bool) for name in cfgs}
+    kept = {name: geom[name][0] * geom[name][1] for name in cfgs}
+    floors = {name: int(np.ceil(cfgs[name].min_keep
+                                * geom[name][0] * geom[name][1]))
+              for name in cfgs}
+
+    pruned = 0
+    for norm, name, br, bc in entries:
+        if pruned >= n_prune:
+            break
+        if kept[name] - 1 < floors[name]:
+            continue  # keep floor reached for this layer
+        masks[name][br, bc] = False
+        kept[name] -= 1
+        pruned += 1
+    return masks
+
+
+def expand_mask(mask: np.ndarray, cfg: BlockCfg,
+                shape: Tuple[int, ...]) -> np.ndarray:
+    """Block mask [nbr, nbc] -> elementwise FP32 mask in weight shape."""
+    full = np.repeat(np.repeat(mask, cfg.block_h, 0), cfg.block_w, 1)
+    H = int(np.prod(shape[1:]))
+    return full[:shape[0], :H].reshape(shape).astype(np.float32)
+
+
+def make_mask_fn(
+    masks: Mapping[str, np.ndarray],
+    cfgs: Mapping[str, BlockCfg],
+    shapes: Mapping[str, Tuple[int, ...]],
+) -> Callable:
+    """Build the after-every-step mask re-application function."""
+    dense_masks = {
+        name: jnp.asarray(expand_mask(masks[name], cfgs[name],
+                                      shapes[name]))
+        for name in masks
+    }
+
+    def mask_fn(params):
+        out = dict(params)
+        for name, m in dense_masks.items():
+            out[name] = params[name] * m
+        return out
+
+    return mask_fn
+
+
+def make_group_lasso_fn(
+    cfgs: Mapping[str, BlockCfg], weight: float = 1e-4
+) -> Callable:
+    """L2,1 group-lasso over blocks (train_with_group_lasso :324-395):
+    sum over blocks of their L2 norms — drives whole blocks to zero."""
+
+    def reg_fn(params):
+        total = 0.0
+        for name, cfg in cfgs.items():
+            w = params[name].reshape(params[name].shape[0], -1)
+            H, W = w.shape
+            ph, pw = -H % cfg.block_h, -W % cfg.block_w
+            if ph or pw:
+                w = jnp.pad(w, ((0, ph), (0, pw)))
+            t = w.reshape(w.shape[0] // cfg.block_h, cfg.block_h,
+                          w.shape[1] // cfg.block_w, cfg.block_w)
+            norms = jnp.sqrt((t.astype(jnp.float32) ** 2).sum(axis=(1, 3))
+                             + 1e-12)
+            total = total + norms.sum()
+        return weight * total
+
+    return reg_fn
+
+
+def sparsity_of_masks(masks: Mapping[str, np.ndarray]) -> float:
+    total = sum(m.size for m in masks.values())
+    kept = sum(int(m.sum()) for m in masks.values())
+    return 1.0 - kept / total if total else 0.0
+
+
+def progressive_prune(
+    params: Dict[str, np.ndarray],
+    finetune: Callable[[Dict[str, np.ndarray], Callable, Callable],
+                       Dict[str, np.ndarray]],
+    cfgs: Mapping[str, BlockCfg],
+    schedule: List[float] = (0.5, 0.7, 0.85, 0.9),
+    lasso_weight: float = 1e-4,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Progressive magnitude pruning with fine-tuning between levels.
+
+    ``finetune(params, mask_fn, reg_fn) -> params`` runs a few epochs of
+    training (e.g. a partial train_mnist) with masks re-applied per step.
+
+    Returns (pruned params, final masks).
+    """
+    shapes = {name: params[name].shape for name in cfgs}
+    reg_fn = make_group_lasso_fn(cfgs, lasso_weight)
+    masks = None
+    for level in schedule:
+        masks = prune_blocks_global(params, level, cfgs)
+        mask_fn = make_mask_fn(masks, cfgs, shapes)
+        # hard-apply, then fine-tune with masks pinned
+        params = {k: np.asarray(v) for k, v in mask_fn(
+            {k: jnp.asarray(v) for k, v in params.items()}).items()}
+        params = finetune(params, mask_fn, reg_fn)
+        params = {k: np.asarray(v) for k, v in mask_fn(
+            {k: jnp.asarray(v) for k, v in params.items()}).items()}
+    return params, masks
