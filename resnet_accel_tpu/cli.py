@@ -219,6 +219,38 @@ def cmd_sim(args):
     return 0
 
 
+def cmd_verify(args):
+    """Element-wise artifact comparison (hw/sim/verify_rtl.py parity):
+    tolerance 0 by default, PASS/FAIL report with first mismatches."""
+    a = np.load(args.golden)
+    b = np.load(args.actual)
+    if a.shape != b.shape:
+        print(f"FAIL: shape mismatch {a.shape} vs {b.shape}")
+        return 1
+    diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+    n_bad = int((diff > args.tolerance).sum())
+    print(f"compared {a.size} elements, tolerance {args.tolerance}")
+    if n_bad == 0:
+        print("PASS: outputs match")
+        return 0
+    idx = np.argwhere(diff > args.tolerance)[:10]
+    print(f"FAIL: {n_bad} mismatches (max diff {int(diff.max())})")
+    for i in idx:
+        t = tuple(i)
+        print(f"  at {t}: golden={a[t]} actual={b[t]}")
+    return 1
+
+
+def cmd_fixtures(args):
+    """Regenerate the synthetic sparse fixture tree (sw/exporters)."""
+    from resnet_accel_tpu.sparse.fixtures import generate_all_fixtures
+    made = generate_all_fixtures(args.output, seed=args.seed)
+    for k, v in made.items():
+        print(f"  {k} -> {v}")
+    print(f"generated {len(made)} fixtures under {args.output}")
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="resnet_accel_tpu",
@@ -280,6 +312,18 @@ def build_parser():
     ps.add_argument("--artifact", required=True)
     ps.add_argument("--output", default=None)
     ps.set_defaults(fn=cmd_sim)
+
+    pv = sub.add_parser("verify",
+                        help="element-wise output comparison (tol 0)")
+    pv.add_argument("--golden", required=True)
+    pv.add_argument("--actual", required=True)
+    pv.add_argument("--tolerance", type=int, default=0)
+    pv.set_defaults(fn=cmd_verify)
+
+    pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")
+    pf.add_argument("--output", required=True)
+    pf.add_argument("--seed", type=int, default=42)
+    pf.set_defaults(fn=cmd_fixtures)
     return p
 
 

@@ -44,10 +44,17 @@ from resnet_accel_tpu.ops import (
     quantize_input,
     requant_factors,
 )
+from resnet_accel_tpu.ops.bsr_matmul import (
+    KernelBSR,
+    bsr_matmul_wt,
+    pack_kernel_bsr,
+)
+from resnet_accel_tpu.ops.conv import im2col_nchw
 from resnet_accel_tpu.quant import (
     bias_to_int32,
     quantize_symmetric_per_channel,
 )
+from resnet_accel_tpu.sparse import build_bsr_int8_direct
 
 #: Stage plan: (out_channels, blocks, first_stride) — resnet_inference.hpp
 #: layer table (4 stages x 2 basic blocks, downsample at stage 2-4 starts).
@@ -182,7 +189,35 @@ class ResNet18Int8:
         out["fc.w"] = jnp.asarray(self.fc_w.T)
         out["fc.b"] = jnp.asarray(self.fc_b)
         out["fc.deq"] = jnp.asarray(self.fc_deq)
+        # BSR weight streams for sparse layers (the device-side artifact
+        # upload of the zero-skip kernel).
+        for prefix, qc in self.named_convs():
+            if qc.bsr is not None:
+                kb: KernelBSR = qc.bsr
+                out[f"{prefix}.bsr.blocks"] = kb.blocks
+                out[f"{prefix}.bsr.col"] = kb.col_of
+                out[f"{prefix}.bsr.row"] = kb.row_of
+                out[f"{prefix}.bsr.first"] = kb.first_of
+                out[f"{prefix}.bsr.last"] = kb.last_of
         return out
+
+    def named_convs(self):
+        yield "stem", self.stem
+        for i, blk in enumerate(self.blocks):
+            yield f"b{i}.c1", blk.conv1
+            yield f"b{i}.c2", blk.conv2
+            if blk.downsample is not None:
+                yield f"b{i}.ds", blk.downsample
+
+    def sparsity_report(self) -> Dict[str, float]:
+        """Per-layer block sparsity of attached BSR weights
+        (get_model_sparsity parity, resnet_inference.hpp)."""
+        report = {}
+        for prefix, qc in self.named_convs():
+            if qc.bsr is not None:
+                kb: KernelBSR = qc.bsr
+                report[prefix] = 1.0 - kb.nnz_source / kb.total_source
+        return report
 
 
 # ==========================================================================
@@ -344,6 +379,77 @@ def quantize_resnet18(
         s_input=s_input, small_input=small_input, num_classes=num_classes)
 
 
+def attach_bsr(
+    model: ResNet18Int8,
+    block: int = 128,
+    min_sparsity: float = 0.25,
+    chunk: int = 16,
+) -> ResNet18Int8:
+    """Attach zero-skip BSR weight streams to layers with enough block
+    sparsity (config 5 of the baseline: batched sparse serving).
+
+    Scans each conv's INT8 weight matrix for zero (block x block) tiles
+    (e.g. produced by the progressive pruning trainer); layers whose block
+    sparsity reaches ``min_sparsity`` get a packed KernelBSR and their
+    convs run through the Pallas zero-skip kernel (im2col -> sparse GEMM).
+    Dense layers are untouched.  Numerically exact either way.
+    """
+    def maybe(qc: QConv) -> QConv:
+        bsr = build_bsr_int8_direct(qc.w2d, block)
+        if bsr.sparsity_pct / 100.0 < min_sparsity:
+            return qc
+        return dataclasses.replace(
+            qc, bsr=pack_kernel_bsr(bsr, chunk=chunk))
+
+    new_blocks = [
+        dataclasses.replace(
+            blk,
+            conv1=maybe(blk.conv1),
+            conv2=maybe(blk.conv2),
+            downsample=(maybe(blk.downsample)
+                        if blk.downsample is not None else None))
+        for blk in model.blocks
+    ]
+    return dataclasses.replace(model, stem=maybe(model.stem),
+                               blocks=new_blocks)
+
+
+def prune_params_blockwise(
+    params_fp32: Dict[str, np.ndarray],
+    sparsity: float,
+    block: int = 128,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Magnitude block-pruning of conv weights (benchmark helper; the
+    real flow is train.blocksparse progressive pruning with fine-tune).
+
+    Prunes each layer's flattened [O, I*kH*kW] weight at (block x block)
+    granularity by block L2 norm, keeping the stem dense (its tiny K dim
+    leaves nothing to skip)."""
+    out = dict(params_fp32)
+    for name, w in params_fp32.items():
+        if not name.endswith(".weight") or w.ndim != 4:
+            continue
+        if name == "conv1.weight":
+            continue
+        w2 = w.reshape(w.shape[0], -1).copy()
+        H, W = w2.shape
+        ph, pw = -H % block, -W % block
+        wp = np.pad(w2, ((0, ph), (0, pw)))
+        nbr, nbc = wp.shape[0] // block, wp.shape[1] // block
+        t = wp.reshape(nbr, block, nbc, block)
+        norms = np.sqrt((t ** 2).sum(axis=(1, 3)))
+        n_prune = int(norms.size * sparsity)
+        if n_prune == 0:
+            continue
+        thresh = np.partition(norms.reshape(-1), n_prune - 1)[n_prune - 1]
+        mask = norms > thresh
+        full = np.repeat(np.repeat(mask, block, 0), block, 1)
+        w2 *= full[:H, :W]
+        out[name] = w2.reshape(w.shape).astype(np.float32)
+    return out
+
+
 # ==========================================================================
 # TPU forward
 # ==========================================================================
@@ -354,6 +460,27 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits."""
 
     def run_conv(params, prefix, qc: QConv, x):
+        if qc.bsr is not None and use_pallas:
+            # Sparse layer: im2col -> zero-skip BSR GEMM with the fused
+            # bias/ReLU/requant epilogue.
+            N, _, H, W = x.shape
+            H_out = (H + 2 * qc.padding - qc.kernel) // qc.stride + 1
+            W_out = (W + 2 * qc.padding - qc.kernel) // qc.stride + 1
+            patches = im2col_nchw(x, qc.kernel, qc.stride, qc.padding)
+            a2 = patches.reshape(N * H_out * W_out, -1)
+            kb = dataclasses.replace(
+                qc.bsr,
+                blocks=params[f"{prefix}.bsr.blocks"],
+                col_of=params[f"{prefix}.bsr.col"],
+                row_of=params[f"{prefix}.bsr.row"],
+                first_of=params[f"{prefix}.bsr.first"],
+                last_of=params[f"{prefix}.bsr.last"])
+            out = bsr_matmul_wt(
+                a2, kb, bias=params[f"{prefix}.b"],
+                factors=params[f"{prefix}.f"], relu=qc.relu,
+                backend=backend)
+            out = out.reshape(N, H_out, W_out, -1)
+            return out.transpose(0, 3, 1, 2)
         return conv2d_int8(
             x, params[f"{prefix}.w"], bias=params[f"{prefix}.b"],
             kernel=qc.kernel, stride=qc.stride, padding=qc.padding,

@@ -67,6 +67,8 @@ class KernelBSR:
     first_of: jnp.ndarray    # [nnz_pad] int32 — 1 on a row's first block
     last_of: jnp.ndarray     # [nnz_pad] int32 — 1 on a row's last block
     nnz: int                 # scheduled blocks (incl. fillers and padding)
+    nnz_source: int          # true nonzero blocks in the source matrix
+    total_source: int        # total blocks in the source block grid
     chunk: int               # blocks per resident-mode grid step
     block_h: int
     block_w: int
@@ -134,6 +136,8 @@ def pack_kernel_bsr(bsr: BSRMatrix, chunk: int = 8) -> KernelBSR:
         first_of=jnp.asarray(np.asarray(first, np.int32)),
         last_of=jnp.asarray(np.asarray(last, np.int32)),
         nnz=len(blocks_list),
+        nnz_source=bsr.nnz_blocks,
+        total_source=bsr.total_blocks,
         chunk=chunk,
         block_h=bh,
         block_w=bw,

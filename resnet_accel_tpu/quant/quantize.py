@@ -144,9 +144,10 @@ def bias_to_int32(
     into the accumulator is the standard integer-inference formulation and
     is what the fused TPU epilogue consumes.)
     """
-    bias_fp32 = np.asarray(bias_fp32, dtype=np.float32)
-    wgt_scales = np.asarray(wgt_scales, dtype=np.float32).reshape(-1)
-    return np.clip(
-        np.rint(bias_fp32 / (np.float32(act_scale) * wgt_scales)),
-        -2**31, 2**31 - 1,
-    ).astype(np.int32)
+    bias_fp32 = np.asarray(bias_fp32, dtype=np.float64)
+    wgt_scales = np.asarray(wgt_scales, dtype=np.float64).reshape(-1)
+    q = np.rint(bias_fp32 / (float(act_scale) * wgt_scales))
+    # All-zero channels have the epsilon scale guard (1e-12) which makes
+    # q blow up; their outputs are zero anyway — clamp safely.
+    q = np.nan_to_num(q, nan=0.0, posinf=2**31 - 1, neginf=-2**31)
+    return np.clip(q, -2**31, 2**31 - 1).astype(np.int64).astype(np.int32)
