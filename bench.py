@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_IMAGES_PER_S = 137.0
-BATCH = 32
-ITERS = 10
+BATCH = 256
+ITERS = 5
 
 
 def main():

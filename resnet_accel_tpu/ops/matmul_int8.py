@@ -71,6 +71,90 @@ def _mm_kernel(a_ref, b_ref, bias_ref, fct_ref, o_ref, acc_ref, *,
             o_ref[:] = acc
 
 
+def _mm_resident_kernel(a_ref, b_ref, bias_ref, fct_ref, o_ref, acc_ref, *,
+                        k_chunks: int, tile_k: int, relu: bool,
+                        requant: bool, has_bias: bool):
+    """Resident dense GEMM: A tile + full-width int32 accumulator live in
+    VMEM; B streams through in K-slabs.  Same architecture as the BSR
+    resident kernel (and the reference's act_buffer/wgt-stream/
+    output_accumulator split) — per-step work is tile_m x tile_k x N,
+    large enough to hide all grid overhead."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a_sl = a_ref[:, pl.ds(pl.multiple_of(c * tile_k, tile_k), tile_k)]
+    acc_ref[:] += jax.lax.dot_general(
+        a_sl, b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(c == k_chunks - 1)
+    def _epilogue():
+        acc = acc_ref[:]
+        if has_bias:
+            acc = acc + bias_ref[:].astype(jnp.int32)
+        if relu:
+            acc = jnp.maximum(acc, 0)
+        if requant:
+            scaled = acc.astype(jnp.float32) * fct_ref[:]
+            o_ref[:] = jnp.clip(jnp.rint(scaled), -128, 127).astype(jnp.int8)
+        else:
+            o_ref[:] = acc
+
+
+#: VMEM budget for the resident dense kernel (A + B slab + acc + out).
+_MM_RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "requant", "tile_m", "tile_k", "interpret"))
+def _matmul_int8_resident_padded(
+    a, b, bias, factors, *,
+    relu: bool, requant: bool,
+    tile_m: int, tile_k: int,
+    interpret: bool,
+):
+    """Resident-mode pallas_call on pre-padded operands."""
+    M, K = a.shape
+    _, N = b.shape
+    k_chunks = K // tile_k
+    out_dtype = jnp.int8 if requant else jnp.int32
+    kernel = functools.partial(
+        _mm_resident_kernel, k_chunks=k_chunks, tile_k=tile_k, relu=relu,
+        requant=requant, has_bias=bias is not None)
+    operands = [
+        a, b,
+        bias if bias is not None else jnp.zeros((1, N), jnp.int32),
+        factors if factors is not None else jnp.ones((1, N), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tile_m, k_chunks),
+        in_specs=[
+            pl.BlockSpec((tile_m, K), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, N), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, N), lambda i, c: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, N), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * (1 if requant else 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "requant", "tile_m", "tile_n", "tile_k",
@@ -192,11 +276,21 @@ def matmul_int8(
         fct_p = jnp.pad(f, (0, Np - N)).reshape(1, Np)
 
     interpret = backend_mod.interpret_mode(backend)
-    out = _matmul_int8_pallas_padded(
-        ap, bp, bias_p, fct_p,
-        relu=relu, requant=requant,
-        tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
-        interpret=interpret)
+    # Resident mode (A + accumulator in VMEM, B streamed) when it fits —
+    # substantially faster (grid-step work scales with N).
+    resident_bytes = (tile_m * Kp + tile_k * Np + 5 * tile_m * Np)
+    if resident_bytes <= _MM_RESIDENT_VMEM_BUDGET:
+        out = _matmul_int8_resident_padded(
+            ap, bp, bias_p, fct_p,
+            relu=relu, requant=requant,
+            tile_m=tile_m, tile_k=tile_k,
+            interpret=interpret)
+    else:
+        out = _matmul_int8_pallas_padded(
+            ap, bp, bias_p, fct_p,
+            relu=relu, requant=requant,
+            tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
+            interpret=interpret)
     if (Mp, Np) != (M, N):
         out = out[:M, :N]
     return out
