@@ -43,7 +43,13 @@ from resnet_accel_tpu.ops import (
     quantize_input,
     requant_factors,
 )
+from resnet_accel_tpu.ops.bsr_matmul import (
+    KernelBSR,
+    bsr_matmul_wt,
+    pack_kernel_bsr,
+)
 from resnet_accel_tpu.quant import bias_to_int32
+from resnet_accel_tpu.sparse import build_bsr_int8_direct
 
 #: MNIST normalization constants (train_mnist.py / quantize.py:235).
 MNIST_MEAN, MNIST_STD = 0.1307, 0.3081
@@ -71,6 +77,9 @@ class MNISTCNNInt8:
     conv1_f: np.ndarray
     conv2_f: np.ndarray
     fc1_f: np.ndarray
+    # Optional zero-skip weights for fc1 (the layer the reference's BSR
+    # path targets; data/bsr_export_14x14/fc1).
+    fc1_bsr: Optional[KernelBSR] = None
 
     # ----------------------------------------------------------------- load
     @classmethod
@@ -137,7 +146,7 @@ class MNISTCNNInt8:
     def as_device_params(self) -> Dict[str, jnp.ndarray]:
         """Upload everything the jitted forward needs (device_put once —
         the TPU-native analog of the reference's weight DMA)."""
-        return {
+        params = {
             "conv1_w": jnp.asarray(self.conv1_w),
             "conv2_w": jnp.asarray(self.conv2_w),
             "fc1_wT": jnp.asarray(self.fc1_w.T),
@@ -152,6 +161,30 @@ class MNISTCNNInt8:
             "fc2_deq": jnp.asarray(
                 np.float32(self.act_scales[3]) * self.fc2_w_scales),
         }
+        if self.fc1_bsr is not None:
+            kb = self.fc1_bsr
+            params.update({
+                "fc1.bsr.blocks": kb.blocks,
+                "fc1.bsr.col": kb.col_of,
+                "fc1.bsr.row": kb.row_of,
+                "fc1.bsr.first": kb.first_of,
+                "fc1.bsr.last": kb.last_of,
+            })
+        return params
+
+    def with_fc1_bsr(self, block: int = 128,
+                     chunk: int = 16) -> "MNISTCNNInt8":
+        """Attach the zero-skip BSR stream for fc1 (block-pruned weights
+        produce zero blocks; dense weights work too, just without skip)."""
+        bsr = build_bsr_int8_direct(self.fc1_w, block)
+        return dataclasses.replace(
+            self, fc1_bsr=pack_kernel_bsr(bsr, chunk=chunk))
+
+    def sparsity_report(self):
+        if self.fc1_bsr is None:
+            return {}
+        kb = self.fc1_bsr
+        return {"fc1": 1.0 - kb.nnz_source / kb.total_source}
 
 
 def _calibrate_act_scales(x, weights, scales, biases):
@@ -220,9 +253,22 @@ def make_forward(
                         method=conv_method)
         a = maxpool2d_int8(a, 2, 2)
         a = a.reshape(a.shape[0], -1)
-        a = matmul_int8(a, params["fc1_wT"], bias=params["fc1_b"],
-                        factors=params["fc1_f"], relu=True,
-                        use_pallas=use_pallas, backend=backend)
+        if model.fc1_bsr is not None and use_pallas:
+            import dataclasses as _dc
+            kb = _dc.replace(
+                model.fc1_bsr,
+                blocks=params["fc1.bsr.blocks"],
+                col_of=params["fc1.bsr.col"],
+                row_of=params["fc1.bsr.row"],
+                first_of=params["fc1.bsr.first"],
+                last_of=params["fc1.bsr.last"])
+            a = bsr_matmul_wt(a, kb, bias=params["fc1_b"],
+                              factors=params["fc1_f"], relu=True,
+                              backend=backend)
+        else:
+            a = matmul_int8(a, params["fc1_wT"], bias=params["fc1_b"],
+                            factors=params["fc1_f"], relu=True,
+                            use_pallas=use_pallas, backend=backend)
         acc = matmul_int8(a, params["fc2_wT"], bias=params["fc2_b"],
                           use_pallas=use_pallas, backend=backend)
         return acc.astype(jnp.float32) * params["fc2_deq"][None, :]
