@@ -384,6 +384,7 @@ def attach_bsr(
     block: int = 128,
     min_sparsity: float = 0.25,
     chunk: int = 16,
+    layer_filter=None,
 ) -> ResNet18Int8:
     """Attach zero-skip BSR weight streams to layers with enough block
     sparsity (config 5 of the baseline: batched sparse serving).
@@ -393,8 +394,18 @@ def attach_bsr(
     sparsity reaches ``min_sparsity`` get a packed KernelBSR and their
     convs run through the Pallas zero-skip kernel (im2col -> sparse GEMM).
     Dense layers are untouched.  Numerically exact either way.
+
+    ``layer_filter(prefix) -> bool`` limits which layers are converted
+    (measured guidance: sparse conv through explicit im2col only beats
+    the dense native conv on GEMM-dominant layers — small spatial extent
+    or 1x1 kernels; see docs/ARCHITECTURE.md §7).
     """
-    def maybe(qc: QConv) -> QConv:
+    def maybe(qc: QConv, prefix: str = "") -> QConv:
+        if layer_filter is not None and not layer_filter(prefix):
+            return qc
+        return _maybe_bsr(qc)
+
+    def _maybe_bsr(qc: QConv) -> QConv:
         bsr = build_bsr_int8_direct(qc.w2d, block)
         if bsr.sparsity_pct / 100.0 < min_sparsity:
             return qc
@@ -404,13 +415,13 @@ def attach_bsr(
     new_blocks = [
         dataclasses.replace(
             blk,
-            conv1=maybe(blk.conv1),
-            conv2=maybe(blk.conv2),
-            downsample=(maybe(blk.downsample)
+            conv1=maybe(blk.conv1, f"b{i}.c1"),
+            conv2=maybe(blk.conv2, f"b{i}.c2"),
+            downsample=(maybe(blk.downsample, f"b{i}.ds")
                         if blk.downsample is not None else None))
-        for blk in model.blocks
+        for i, blk in enumerate(model.blocks)
     ]
-    return dataclasses.replace(model, stem=maybe(model.stem),
+    return dataclasses.replace(model, stem=maybe(model.stem, "stem"),
                                blocks=new_blocks)
 
 
