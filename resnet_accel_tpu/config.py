@@ -22,8 +22,7 @@ Reference parity:
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 # --------------------------------------------------------------------------
 # Hardware constants

@@ -11,7 +11,7 @@ annotations; they ride ICI, no host involvement.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

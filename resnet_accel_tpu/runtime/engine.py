@@ -121,7 +121,6 @@ class InferenceEngine:
             self.params = jax.device_put(model.as_device_params(),
                                          self._device)
         self.profiler = LayerProfiler()
-        self._compiled_shapes = set()
 
     # ------------------------------------------------------------------ api
     def run_inference(self, x: np.ndarray, k: int = 5) -> InferenceResult:

@@ -12,7 +12,6 @@ measured watts into PowerProfile directly — the report math is shared.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 #: Published peak/idle power envelope for a TPU v5e chip.
 TPU_V5E_TDP_W = 170.0

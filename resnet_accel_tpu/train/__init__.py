@@ -9,6 +9,16 @@ from resnet_accel_tpu.train.mnist import (
     export_golden_vectors,
     TrainResult,
 )
+from resnet_accel_tpu.train.checkpoint import (
+    CheckpointManager,
+    save_orbax,
+    load_orbax,
+)
+from resnet_accel_tpu.train.resnet18 import (
+    train_resnet18,
+    export_inference_params,
+    resnet18_forward,
+)
 from resnet_accel_tpu.train.blocksparse import (
     BlockCfg,
     DEFAULT_FC_CFG,
@@ -25,6 +35,12 @@ from resnet_accel_tpu.train.blocksparse import (
 )
 
 __all__ = [
+    "CheckpointManager",
+    "save_orbax",
+    "load_orbax",
+    "train_resnet18",
+    "export_inference_params",
+    "resnet18_forward",
     "init_mnist_params",
     "mnist_forward_fp32",
     "train_mnist",

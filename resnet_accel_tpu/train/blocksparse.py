@@ -20,7 +20,7 @@ reference's 14x14/4x4 remain supported via BlockCfg.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Mapping, Optional, Tuple
+from typing import Callable, Dict, List, Mapping, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ simulates — the MXU is real hardware.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
-
 import numpy as np
 
 
