@@ -65,17 +65,15 @@ def cmd_test(args):
 def cmd_bench(args):
     """Dense + sparse GEMM benchmark sweep (benchmark_sparse.py parity:
     sizes x sparsities, GOPS + speedup table vs dense)."""
-    import jax
     import jax.numpy as jnp
     from resnet_accel_tpu.ops.bsr_matmul import (
         pack_kernel_bsr, bsr_matmul_wt)
     from resnet_accel_tpu.sparse import build_bsr_int8_direct
-    from resnet_accel_tpu.runtime.perf import PerfTimer
+    from resnet_accel_tpu.runtime.perf import measure_chained
 
     rng = np.random.default_rng(0)
     sizes = [int(s) for s in args.sizes.split(",")]
     sparsities = [float(s) for s in args.sparsities.split(",")]
-    timer = PerfTimer(warmup=1, iters=args.iters)
     rows = []
     for n in sizes:
         M = args.batch
@@ -91,16 +89,19 @@ def cmd_bench(args):
                           bc * 128:(bc + 1) * 128] = 0
             kb = pack_kernel_bsr(build_bsr_int8_direct(W, 128), chunk=16)
             A = jnp.asarray(rng.integers(-128, 128, (M, n)).astype(np.int8))
-            fwd = jax.jit(lambda a, kb=kb: bsr_matmul_wt(a, kb))
-            m = timer.measure(f"n{n}_sp{sp}", fwd, A,
-                              total_ops=2 * M * kb.nnz * 128 * 128)
+            dt = measure_chained(
+                lambda a, kb=kb: bsr_matmul_wt(a, kb),
+                A,
+                lambda a, out: jnp.bitwise_and(
+                    out[:, :a.shape[1]], 127).astype(jnp.int8),
+                outer=args.iters, chain=24)
             if sp == sparsities[0]:
-                base_dt = m.latency_s
+                base_dt = dt
             rows.append({
                 "M": M, "N": n, "K": n, "sparsity": sp,
-                "latency_us": round(m.latency_s * 1e6, 1),
-                "gops": round(m.gops, 1),
-                "speedup_vs_dense": round(base_dt / m.latency_s, 2),
+                "latency_us": round(dt * 1e6, 1),
+                "gops": round(2 * M * kb.nnz * 128 * 128 / dt / 1e9, 1),
+                "speedup_vs_dense": round(base_dt / dt, 2),
             })
             print(rows[-1])
     if args.output:

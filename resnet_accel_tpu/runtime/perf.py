@@ -130,6 +130,50 @@ class LayerProfiler:
         return "\n".join(lines)
 
 
+def measure_chained(
+    fn: Callable,
+    x,
+    feedback: Callable,
+    outer: int = 5,
+    chain: int = 16,
+    reps: int = 4,
+) -> float:
+    """True per-call kernel time on high-dispatch-latency environments.
+
+    Remote/tunneled TPUs add ~1 ms per dispatch, swamping fast kernels.
+    This chains ``chain`` data-dependent calls inside one jitted loop body
+    (``feedback(prev_input, output) -> next_input`` forces the dependency
+    so XLA cannot hoist or overlap) and subtracts the 1-call body:
+
+        t_kernel = (T(chain) - T(1)) / (chain - 1)
+
+    Returns seconds per call.
+    """
+    import jax
+
+    def make(k):
+        @jax.jit
+        def loop(a0):
+            def body(i, a):
+                for _ in range(k):
+                    a = feedback(a, fn(a))
+                return a
+            return jax.lax.fori_loop(0, outer, body, a0)
+
+        r = loop(x)
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = loop(x)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / outer)
+        return best
+
+    t1, tk = make(1), make(chain)
+    return max((tk - t1) / (chain - 1), 1e-9)
+
+
 def trace_profile(fn: Callable, *args, logdir: str = "/tmp/rat_trace"):
     """Capture a jax.profiler trace around one dispatch (VCD-waveform
     analog; inspect with TensorBoard/xprof)."""
