@@ -34,3 +34,26 @@ def avgpool_global_int8(x: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sum(x.astype(jnp.int32), axis=(2, 3)) + jnp.int32(hw // 2)
     avg = jax.lax.div(s, jnp.int32(hw))  # trunc toward zero, like C
     return jnp.clip(avg, -128, 127).astype(jnp.int8)
+
+
+def maxpool2d_int8_nhwc(
+    x: jnp.ndarray, pool_size: int, stride: int, padding: int = 0
+) -> jnp.ndarray:
+    """[N, H, W, C] variant of maxpool2d_int8 (same semantics)."""
+    return jax.lax.reduce_window(
+        x,
+        jnp.int8(-128),
+        jax.lax.max,
+        window_dimensions=(1, pool_size, pool_size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avgpool_global_int8_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, C] with the golden trunc-div rounding."""
+    N, H, W, C = x.shape
+    hw = H * W
+    s = jnp.sum(x.astype(jnp.int32), axis=(1, 2)) + jnp.int32(hw // 2)
+    avg = jax.lax.div(s, jnp.int32(hw))
+    return jnp.clip(avg, -128, 127).astype(jnp.int8)
