@@ -252,6 +252,25 @@ def cmd_fixtures(args):
     return 0
 
 
+def cmd_profile(args):
+    """Per-layer roofline profile of ResNet-18 INT8 (PerfCounters table)."""
+    from resnet_accel_tpu.models.resnet18 import (
+        init_resnet18_fp32, quantize_resnet18, make_forward)
+    from resnet_accel_tpu.runtime import InferenceEngine
+
+    rng = np.random.default_rng(0)
+    hw = 32 if args.small_input else 224
+    fp32 = init_resnet18_fp32(seed=0, num_classes=args.num_classes,
+                              small_input=args.small_input)
+    calib = rng.normal(0, 1, (2, 3, hw, hw)).astype(np.float32)
+    model = quantize_resnet18(fp32, calib, args.num_classes,
+                              args.small_input)
+    eng = InferenceEngine(model, make_forward, backend=args.backend)
+    x = rng.normal(0, 1, (args.batch, 3, hw, hw)).astype(np.float32)
+    print(eng.profile(x, iters=args.iters))
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="resnet_accel_tpu",
@@ -320,6 +339,14 @@ def build_parser():
     pv.add_argument("--actual", required=True)
     pv.add_argument("--tolerance", type=int, default=0)
     pv.set_defaults(fn=cmd_verify)
+
+    pp = sub.add_parser("profile", help="per-layer roofline profile")
+    pp.add_argument("--batch", type=int, default=32)
+    pp.add_argument("--num-classes", type=int, default=1000)
+    pp.add_argument("--small-input", action="store_true")
+    pp.add_argument("--iters", type=int, default=3)
+    pp.add_argument("--backend", default=None)
+    pp.set_defaults(fn=cmd_profile)
 
     pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")
     pf.add_argument("--output", required=True)

@@ -174,6 +174,19 @@ class InferenceEngine:
         res = self.run_inference(x)
         return float((res.predictions == np.asarray(labels)).mean())
 
+    def profile(self, x: np.ndarray, iters: int = 5) -> str:
+        """Per-layer performance table: measured end-to-end latency
+        distributed over the static per-layer roofline model
+        (runtime.profile) — the per-layer PerfCounters readout."""
+        from resnet_accel_tpu.runtime.profile import (
+            profile_resnet18, profile_table)
+        m = self.benchmark(x, iters=iters)
+        prof = profile_resnet18(
+            self.model, input_hw=x.shape[-1], batch=x.shape[0],
+            measured_latency_s=m.latency_s)
+        self.profiler = prof
+        return profile_table(prof)
+
     def get_model_sparsity(self) -> Dict[str, float]:
         """Per-layer block sparsity if the model carries BSR weights."""
         # Models expose .sparsity_report() when sparse; dense models: {}.
