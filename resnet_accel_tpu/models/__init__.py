@@ -18,6 +18,7 @@ from resnet_accel_tpu.models.attention import (
     SparseAttentionInt8,
     SparseProjection,
 )
+from resnet_accel_tpu.models.transformer import TransformerBlockInt8
 
 __all__ = [
     "MNISTCNNInt8",
@@ -32,4 +33,5 @@ __all__ = [
     "quantize_resnet18",
     "SparseAttentionInt8",
     "SparseProjection",
+    "TransformerBlockInt8",
 ]

@@ -123,9 +123,13 @@ class SparseAttentionInt8:
         k = self.k.project(xq, x_scale)
         v = self.v.project(xq, x_scale)
         d = q.shape[-1]
-        logits = (q @ k.T) / jnp.sqrt(jnp.float32(d))
+        # fp32 attention math must not fall back to TPU's default bf16
+        # matmul passes — pin to highest precision for golden parity.
+        logits = jnp.matmul(
+            q, k.T, precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+            jnp.float32(d))
         attn = jax.nn.softmax(logits, axis=-1)
-        return attn @ v
+        return jnp.matmul(attn, v, precision=jax.lax.Precision.HIGHEST)
 
     def forward_golden(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.float32)

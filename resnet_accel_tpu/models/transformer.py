@@ -1,0 +1,200 @@
+"""INT8 block-sparse transformer encoder block — beyond-parity coverage.
+
+Extends the attention-projection capability (models.attention, built on
+the reference's transformer fixtures) to a complete encoder block:
+
+    x -> LN -> MultiHead(Q,K,V,O int8-sparse projections) -> +x
+      -> LN -> MLP(W1 -> GELU -> W2, int8-sparse) -> +residual
+
+All eight weight matrices are per-channel INT8 in BSR form and run
+through the zero-skip gather GEMM; activations quantize dynamically
+per-tensor at each projection input (the int8/fp32 boundary sits at the
+projections, exactly like the CNN models put it at conv/fc layers);
+LayerNorm, softmax, GELU and residuals are fp32.
+
+Golden (numpy) and jax paths share the arithmetic; tests check them
+against each other and the block-sparsity accounting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resnet_accel_tpu.models.attention import SparseProjection
+from resnet_accel_tpu.ops.bsr_matmul import pack_gather_bsr
+from resnet_accel_tpu.quant import quantize_symmetric_per_channel
+from resnet_accel_tpu.sparse import build_bsr
+from resnet_accel_tpu.sparse.fixtures import create_sparse_mask
+
+LN_EPS = 1e-5
+
+
+def _make_projection(w_fp32: np.ndarray, block: int,
+                     bias: Optional[np.ndarray]) -> SparseProjection:
+    _, scales = quantize_symmetric_per_channel(w_fp32, axis=0)
+    bsr = build_bsr(w_fp32, block, threshold=1e-10, quantize=True,
+                    scales=scales)
+    return SparseProjection(bsr=bsr, gather=pack_gather_bsr(bsr),
+                            scales=scales, bias=bias)
+
+
+@dataclasses.dataclass
+class TransformerBlockInt8:
+    """One encoder block with INT8 block-sparse projections."""
+
+    wq: SparseProjection
+    wk: SparseProjection
+    wv: SparseProjection
+    wo: SparseProjection
+    w1: SparseProjection      # d_model -> d_ff
+    w2: SparseProjection      # d_ff -> d_model
+    ln1_g: np.ndarray
+    ln1_b: np.ndarray
+    ln2_g: np.ndarray
+    ln2_b: np.ndarray
+    n_heads: int
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def from_random(
+        cls,
+        d_model: int = 128,
+        n_heads: int = 4,
+        d_ff: int = 256,
+        sparsity: float = 0.8,
+        block: int = 8,
+        seed: int = 0,
+    ) -> "TransformerBlockInt8":
+        """Deterministic block-sparse random block (fixture-style masks)."""
+        rng = np.random.default_rng(seed)
+
+        def w(o, i, s):
+            base = rng.normal(0, 1.0 / np.sqrt(i), (o, i)).astype(np.float32)
+            return base * create_sparse_mask((o, i), block, sparsity,
+                                             seed=s)
+
+        def b(o):
+            return rng.normal(0, 0.01, o).astype(np.float32)
+
+        return cls(
+            wq=_make_projection(w(d_model, d_model, seed + 1), block,
+                                b(d_model)),
+            wk=_make_projection(w(d_model, d_model, seed + 2), block,
+                                b(d_model)),
+            wv=_make_projection(w(d_model, d_model, seed + 3), block,
+                                b(d_model)),
+            wo=_make_projection(w(d_model, d_model, seed + 4), block,
+                                b(d_model)),
+            w1=_make_projection(w(d_ff, d_model, seed + 5), block,
+                                b(d_ff)),
+            w2=_make_projection(w(d_model, d_ff, seed + 6), block,
+                                b(d_model)),
+            ln1_g=np.ones(d_model, np.float32),
+            ln1_b=np.zeros(d_model, np.float32),
+            ln2_g=np.ones(d_model, np.float32),
+            ln2_b=np.zeros(d_model, np.float32),
+            n_heads=n_heads,
+        )
+
+    @property
+    def d_model(self) -> int:
+        return self.wq.d_in
+
+    def sparsity_report(self) -> Dict[str, float]:
+        return {name: p.bsr.sparsity_pct / 100.0 for name, p in [
+            ("wq", self.wq), ("wk", self.wk), ("wv", self.wv),
+            ("wo", self.wo), ("w1", self.w1), ("w2", self.w2)]}
+
+    # ----------------------------------------------------------- helpers
+    @staticmethod
+    def _q_dyn(x):
+        """Dynamic symmetric per-tensor int8 quantization (jnp)."""
+        scale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+        q = jnp.clip(jnp.rint(x / scale), -128, 127).astype(jnp.int8)
+        return q, scale
+
+    @staticmethod
+    def _q_dyn_np(x):
+        scale = max(float(np.abs(x).max()) / 127.0, 1e-12)
+        q = np.clip(np.rint(x / scale), -128, 127).astype(np.int8)
+        return q, scale
+
+    # --------------------------------------------------------------- jax
+    def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+        """[T, d_model] fp32 -> [T, d_model] fp32."""
+        T, D = x.shape
+        H = self.n_heads
+        dh = D // H
+
+        def ln(v, gamma, beta):
+            mu = v.mean(axis=-1, keepdims=True)
+            var = v.var(axis=-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
+                * jnp.asarray(gamma) + jnp.asarray(beta)
+
+        def proj(p: SparseProjection, v):
+            q, s = self._q_dyn(v)
+            return p.project(q, s)
+
+        h = ln(x, self.ln1_g, self.ln1_b)
+        qh = proj(self.wq, h).reshape(T, H, dh).transpose(1, 0, 2)
+        kh = proj(self.wk, h).reshape(T, H, dh).transpose(1, 0, 2)
+        vh = proj(self.wv, h).reshape(T, H, dh).transpose(1, 0, 2)
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+            jnp.float32(dh))
+        if causal:
+            mask = jnp.tril(jnp.ones((T, T), bool))
+            logits = jnp.where(mask[None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hts,hsd->htd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.transpose(1, 0, 2).reshape(T, D)
+        x = x + proj(self.wo, ctx)
+
+        h = ln(x, self.ln2_g, self.ln2_b)
+        m = jax.nn.gelu(proj(self.w1, h))
+        return x + proj(self.w2, m)
+
+    # ------------------------------------------------------------ golden
+    def forward_golden(self, x: np.ndarray, causal: bool = False
+                       ) -> np.ndarray:
+        T, D = x.shape
+        H = self.n_heads
+        dh = D // H
+
+        def ln(v, gamma, beta):
+            mu = v.mean(axis=-1, keepdims=True)
+            var = v.var(axis=-1, keepdims=True)
+            return (v - mu) / np.sqrt(var + LN_EPS) * gamma + beta
+
+        def proj(p: SparseProjection, v):
+            q, s = self._q_dyn_np(v)
+            return p.project_golden(q, s)
+
+        h = ln(x, self.ln1_g, self.ln1_b)
+        qh = proj(self.wq, h).reshape(T, H, dh).transpose(1, 0, 2)
+        kh = proj(self.wk, h).reshape(T, H, dh).transpose(1, 0, 2)
+        vh = proj(self.wv, h).reshape(T, H, dh).transpose(1, 0, 2)
+        logits = np.einsum("htd,hsd->hts", qh, kh) / np.sqrt(
+            np.float32(dh))
+        if causal:
+            mask = np.tril(np.ones((T, T), bool))
+            logits = np.where(mask[None], logits, -np.inf)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        attn = e / e.sum(axis=-1, keepdims=True)
+        ctx = np.einsum("hts,hsd->htd", attn, vh)
+        ctx = ctx.transpose(1, 0, 2).reshape(T, D)
+        x = x + proj(self.wo, ctx)
+
+        h = ln(x, self.ln2_g, self.ln2_b)
+        z = proj(self.w1, h)
+        gelu = 0.5 * z * (1.0 + np.tanh(
+            np.sqrt(2.0 / np.pi) * (z + 0.044715 * z ** 3)))
+        return x + proj(self.w2, gelu)
