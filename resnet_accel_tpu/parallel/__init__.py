@@ -11,6 +11,7 @@ from resnet_accel_tpu.parallel.sharded import (
     make_sharded_train_step,
     make_data_parallel_forward,
 )
+from resnet_accel_tpu.parallel.pipeline import make_pipeline_forward
 
 __all__ = [
     "available_devices",
@@ -20,4 +21,5 @@ __all__ = [
     "tp_row_sharding",
     "make_sharded_train_step",
     "make_data_parallel_forward",
+    "make_pipeline_forward",
 ]
