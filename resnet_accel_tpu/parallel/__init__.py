@@ -12,6 +12,8 @@ from resnet_accel_tpu.parallel.sharded import (
     make_data_parallel_forward,
 )
 from resnet_accel_tpu.parallel.pipeline import make_pipeline_forward
+from resnet_accel_tpu.parallel.sequence import make_sp_transformer_forward
+from resnet_accel_tpu.parallel.experts import make_ep_moe_forward
 
 __all__ = [
     "available_devices",
@@ -22,4 +24,6 @@ __all__ = [
     "make_sharded_train_step",
     "make_data_parallel_forward",
     "make_pipeline_forward",
+    "make_sp_transformer_forward",
+    "make_ep_moe_forward",
 ]
