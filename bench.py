@@ -60,4 +60,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # One retry guards against transient remote-compile/tunnel hiccups;
+    # the driver records whatever single JSON line reaches stdout.
+    try:
+        main()
+    except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        main()
