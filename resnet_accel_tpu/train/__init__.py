@@ -19,6 +19,12 @@ from resnet_accel_tpu.train.resnet18 import (
     export_inference_params,
     resnet18_forward,
 )
+from resnet_accel_tpu.train.qat import (
+    fake_quant,
+    fake_quant_per_channel,
+    qat_finetune,
+    export_qat,
+)
 from resnet_accel_tpu.train.blocksparse import (
     BlockCfg,
     DEFAULT_FC_CFG,
@@ -41,6 +47,10 @@ __all__ = [
     "train_resnet18",
     "export_inference_params",
     "resnet18_forward",
+    "fake_quant",
+    "fake_quant_per_channel",
+    "qat_finetune",
+    "export_qat",
     "init_mnist_params",
     "mnist_forward_fp32",
     "train_mnist",
