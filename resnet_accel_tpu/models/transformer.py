@@ -124,8 +124,116 @@ class TransformerBlockInt8:
         q = np.clip(np.rint(x / scale), -128, 127).astype(np.int8)
         return q, scale
 
+    def calibrate_scales(self, x: np.ndarray) -> Dict[str, float]:
+        """Static activation scales for serving (absmax/127 at each
+        projection input, observed on a calibration sequence)."""
+        obs = {}
+
+        def ln_np(v, gamma, beta):
+            mu = v.mean(axis=-1, keepdims=True)
+            var = v.var(axis=-1, keepdims=True)
+            return (v - mu) / np.sqrt(var + LN_EPS) * gamma + beta
+
+        h = ln_np(x, self.ln1_g, self.ln1_b)
+        obs["h1"] = float(np.abs(h).max())
+        y = self.forward_golden(x)  # drive through to observe ctx/h2
+        # Re-derive intermediate taps.
+        T, D = x.shape
+        Hh = self.n_heads
+        dh = D // Hh
+        q1, s1 = self._q_dyn_np(h)
+        qh = self.wq.project_golden(q1, s1).reshape(T, Hh, dh)
+        kh = self.wk.project_golden(q1, s1).reshape(T, Hh, dh)
+        vh = self.wv.project_golden(q1, s1).reshape(T, Hh, dh)
+        qe = qh.transpose(1, 0, 2)
+        ke = kh.transpose(1, 0, 2)
+        ve = vh.transpose(1, 0, 2)
+        logits = np.einsum("htd,hsd->hts", qe, ke) / np.sqrt(np.float32(dh))
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        attn = e / e.sum(axis=-1, keepdims=True)
+        ctx = np.einsum("hts,hsd->htd", attn, ve).transpose(1, 0, 2)
+        ctx = ctx.reshape(T, D)
+        obs["ctx"] = float(np.abs(ctx).max())
+        x2 = x + self.wo.project_golden(*self._q_dyn_np(ctx))
+        h2 = ln_np(x2, self.ln2_g, self.ln2_b)
+        obs["h2"] = float(np.abs(h2).max())
+        z = self.w1.project_golden(*self._q_dyn_np(h2))
+        gelu = 0.5 * z * (1.0 + np.tanh(
+            np.sqrt(2.0 / np.pi) * (z + 0.044715 * z ** 3)))
+        obs["mlp"] = float(np.abs(gelu).max())
+        return {k: max(v / 127.0, 1e-12) for k, v in obs.items()}
+
+    # ------------------------------------------------- KV-cache decoding
+    def init_cache(self, max_len: int):
+        """Empty KV cache: dict(k, v [max_len, d_model], len)."""
+        D = self.d_model
+        return {
+            "k": jnp.zeros((max_len, D), jnp.float32),
+            "v": jnp.zeros((max_len, D), jnp.float32),
+            "len": jnp.int32(0),
+        }
+
+    def decode_step(self, cache, x_t: jnp.ndarray,
+                    scales: Dict[str, float]):
+        """One-token causal decode with the KV cache.
+
+        ``x_t``: [1, d_model]; ``scales``: static activation scales from
+        calibrate_scales (static scales make cached decoding numerically
+        identical to the full causal forward run with the same scales).
+        Returns (y_t [1, d_model], updated cache).
+        """
+        D = self.d_model
+        H = self.n_heads
+        dh = D // H
+
+        def ln(v, gamma, beta):
+            mu = v.mean(axis=-1, keepdims=True)
+            var = v.var(axis=-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
+                * jnp.asarray(gamma) + jnp.asarray(beta)
+
+        def q_static(v, s):
+            q = jnp.clip(jnp.rint(v / jnp.float32(s)), -128,
+                         127).astype(jnp.int8)
+            return q, jnp.float32(s)
+
+        def proj(p, v, s):
+            q, sc = q_static(v, s)
+            return p.project(q, sc)
+
+        h = ln(x_t, self.ln1_g, self.ln1_b)
+        q_t = proj(self.wq, h, scales["h1"])          # [1, D]
+        k_t = proj(self.wk, h, scales["h1"])
+        v_t = proj(self.wv, h, scales["h1"])
+
+        pos = cache["len"]
+        k_all = jax.lax.dynamic_update_slice(cache["k"], k_t, (pos, 0))
+        v_all = jax.lax.dynamic_update_slice(cache["v"], v_t, (pos, 0))
+        cache = {"k": k_all, "v": v_all, "len": pos + 1}
+
+        qh = q_t.reshape(1, H, dh).transpose(1, 0, 2)       # [H,1,dh]
+        kh = k_all.reshape(-1, H, dh).transpose(1, 0, 2)    # [H,L,dh]
+        vh = v_all.reshape(-1, H, dh).transpose(1, 0, 2)
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :] / jnp.sqrt(
+            jnp.float32(dh))                                 # [H, L]
+        L = cache["k"].shape[0]
+        mask = jnp.arange(L) <= pos
+        logits = jnp.where(mask[None, :], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hs,hsd->hd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.reshape(1, D)
+        x_t = x_t + proj(self.wo, ctx, scales["ctx"])
+
+        h = ln(x_t, self.ln2_g, self.ln2_b)
+        m = jax.nn.gelu(proj(self.w1, h, scales["h2"]))
+        return x_t + proj(self.w2, m, scales["mlp"]), cache
+
     # --------------------------------------------------------------- jax
-    def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, causal: bool = False,
+                 scales: Optional[Dict[str, float]] = None) -> jnp.ndarray:
         """[T, d_model] fp32 -> [T, d_model] fp32."""
         T, D = x.shape
         H = self.n_heads
@@ -137,14 +245,18 @@ class TransformerBlockInt8:
             return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
                 * jnp.asarray(gamma) + jnp.asarray(beta)
 
-        def proj(p: SparseProjection, v):
+        def proj(p: SparseProjection, v, tap=None):
+            if scales is not None and tap is not None:
+                sc = jnp.float32(scales[tap])
+                q = jnp.clip(jnp.rint(v / sc), -128, 127).astype(jnp.int8)
+                return p.project(q, sc)
             q, s = self._q_dyn(v)
             return p.project(q, s)
 
         h = ln(x, self.ln1_g, self.ln1_b)
-        qh = proj(self.wq, h).reshape(T, H, dh).transpose(1, 0, 2)
-        kh = proj(self.wk, h).reshape(T, H, dh).transpose(1, 0, 2)
-        vh = proj(self.wv, h).reshape(T, H, dh).transpose(1, 0, 2)
+        qh = proj(self.wq, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
+        kh = proj(self.wk, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
+        vh = proj(self.wv, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
         logits = jnp.einsum(
             "htd,hsd->hts", qh, kh,
             precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
@@ -156,11 +268,11 @@ class TransformerBlockInt8:
         ctx = jnp.einsum("hts,hsd->htd", attn, vh,
                          precision=jax.lax.Precision.HIGHEST)
         ctx = ctx.transpose(1, 0, 2).reshape(T, D)
-        x = x + proj(self.wo, ctx)
+        x = x + proj(self.wo, ctx, "ctx")
 
         h = ln(x, self.ln2_g, self.ln2_b)
-        m = jax.nn.gelu(proj(self.w1, h))
-        return x + proj(self.w2, m)
+        m = jax.nn.gelu(proj(self.w1, h, "h2"))
+        return x + proj(self.w2, m, "mlp")
 
     # ------------------------------------------------------------ golden
     def forward_golden(self, x: np.ndarray, causal: bool = False

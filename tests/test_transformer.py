@@ -53,3 +53,33 @@ class TestTransformerBlock:
         a = np.asarray(block(jnp.asarray(x)))
         b = np.asarray(block(jnp.asarray(x)))
         np.testing.assert_array_equal(a, b)
+
+
+class TestKVCacheDecode:
+    def test_incremental_matches_full_causal(self, block):
+        rng = np.random.default_rng(10)
+        T = 8
+        x = rng.normal(0, 1, (T, 128)).astype(np.float32)
+        scales = block.calibrate_scales(x)
+
+        # Full causal forward with the SAME static scales.
+        full = np.asarray(block(jnp.asarray(x), causal=True,
+                                scales=scales))
+
+        # Token-by-token decode through the KV cache.
+        cache = block.init_cache(max_len=T)
+        outs = []
+        for t in range(T):
+            y, cache = block.decode_step(
+                cache, jnp.asarray(x[t:t + 1]), scales)
+            outs.append(np.asarray(y))
+        inc = np.concatenate(outs, axis=0)
+        np.testing.assert_allclose(inc, full, rtol=1e-4, atol=1e-4)
+
+    def test_cache_len_tracks(self, block):
+        cache = block.init_cache(max_len=4)
+        scales = {k: 0.05 for k in ("h1", "ctx", "h2", "mlp")}
+        x = np.zeros((1, 128), np.float32)
+        for expect in (1, 2):
+            _, cache = block.decode_step(cache, jnp.asarray(x), scales)
+            assert int(cache["len"]) == expect
