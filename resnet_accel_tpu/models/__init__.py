@@ -19,6 +19,7 @@ from resnet_accel_tpu.models.attention import (
     SparseProjection,
 )
 from resnet_accel_tpu.models.transformer import TransformerBlockInt8
+from resnet_accel_tpu.models.lm import TransformerLMInt8
 from resnet_accel_tpu.models.moe import MoEBlockInt8
 
 __all__ = [
@@ -35,5 +36,6 @@ __all__ = [
     "SparseAttentionInt8",
     "SparseProjection",
     "TransformerBlockInt8",
+    "TransformerLMInt8",
     "MoEBlockInt8",
 ]

@@ -1,0 +1,92 @@
+"""Decoder LM: cached decode vs full causal forward, jitted generate.
+
+The invariant under test is the serving contract: with the same static
+calibrated activation scales, the incremental KV-cache path and the
+teacher-forced full-sequence path produce identical logits (the block
+level version of this is exact; stacking and the tied head only add
+fp32 LN/matmul on top).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resnet_accel_tpu.models.lm import TransformerLMInt8, \
+    sinusoidal_positions
+
+
+@pytest.fixture(scope="module")
+def lm():
+    return TransformerLMInt8.from_random(
+        vocab=32, d_model=64, n_heads=4, d_ff=128, n_layers=2,
+        max_len=16, sparsity=0.7, block=8, seed=3)
+
+
+@pytest.fixture(scope="module")
+def toks():
+    return np.random.default_rng(7).integers(0, 32, 10).astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def scales(lm, toks):
+    return lm.calibrate(toks)
+
+
+class TestPositions:
+    def test_sinusoidal_shape_and_range(self):
+        pe = sinusoidal_positions(16, 64)
+        assert pe.shape == (16, 64)
+        assert np.abs(pe).max() <= 1.0
+        assert pe[0, 0] == 0.0 and pe[0, 1] == 1.0
+
+
+class TestTeacherForcedEquivalence:
+    def test_decode_matches_full_forward(self, lm, toks, scales):
+        full = np.asarray(lm.forward(jnp.asarray(toks), scales))
+        caches = lm.init_caches()
+        inc = []
+        for t in toks:
+            logits, caches = lm.decode_step(
+                caches, jnp.int32(t), scales)
+            inc.append(np.asarray(logits))
+        inc = np.stack(inc)
+        np.testing.assert_allclose(inc, full, rtol=1e-4, atol=1e-4)
+
+    def test_golden_close_to_jax_dynamic(self, lm, toks):
+        g = lm.forward_golden(toks)
+        j = np.asarray(lm.forward(jnp.asarray(toks)))
+        np.testing.assert_allclose(j, g, rtol=2e-3, atol=2e-3)
+
+
+class TestGenerate:
+    def test_greedy_matches_teacher_forced_loop(self, lm, toks, scales):
+        prompt = toks[:4]
+        n_new = 5
+        got = np.asarray(lm.generate(jnp.asarray(prompt), n_new, scales))
+
+        # Reference: grow the sequence with full forwards each step.
+        seq = list(prompt)
+        want = []
+        for _ in range(n_new):
+            logits = np.asarray(
+                lm.forward(jnp.asarray(np.array(seq, np.int32)), scales))
+            nxt = int(np.argmax(logits[-1]))
+            want.append(nxt)
+            seq.append(nxt)
+        assert got.tolist() == want
+
+    def test_generate_is_jittable_scan(self, lm, toks, scales):
+        # Same program twice -> identical tokens (determinism) and the
+        # jitted path agrees with the eager path.
+        prompt = jnp.asarray(toks[:3])
+        a = np.asarray(lm.generate(prompt, 4, scales, jit=True))
+        b = np.asarray(lm.generate(prompt, 4, scales, jit=False))
+        np.testing.assert_array_equal(a, b)
+
+    def test_respects_max_len(self, lm, scales):
+        # prompt + generated must fit the position table.
+        prompt = jnp.zeros(2, jnp.int32)
+        out = lm.generate(prompt, 3, scales)
+        assert out.shape == (3,)
+        assert int(out.max()) < lm.vocab
