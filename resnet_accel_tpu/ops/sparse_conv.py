@@ -16,14 +16,19 @@ taking each weight block's patch slab as an in-VMEM slice:
     consumes a chunk of blocks into a full-width int32 VMEM accumulator
     (the output_accumulator role), epilogue once at the end.
   - Mosaic requires dynamic offsets on the sublane (width) dim to be
-    8-aligned, so the host pre-shifts the padded input into ``kernel``
-    width-offset copies; ``kw`` then selects a leading (untiled) plane
-    and the width slice is static.
+    8-aligned, so the host pre-shifts the padded input into
+    ``kernel * stride`` phase planes: plane (kw, kh % stride) holds the
+    stride-downsampled input at that column tap / row phase, so inside
+    the kernel the tap (kh, kw) becomes a dynamic *untiled* plane index
+    plus a contiguous row slice at offset kh // stride — the width
+    slice stays static whatever the stride.
 
 Zero blocks are simply absent from the schedule: wall-clock scales with
 nnz like the GEMM kernel, and the input is read from HBM exactly once
-per image tile.  Restrictions (v1): stride 1, C % block_c == 0; the
-model layer falls back to dense native conv otherwise.
+per image tile.  Any stride >= 1 is supported (stride-s planes are a
+factor s^2 smaller, so stride-2 HALVES the resident footprint vs the
+k stride-1 copies); the single restriction is C % block_c == 0, where
+the model layer falls back to dense native conv.
 
 Bit-exactness: int8 x int8 -> int32 accumulation over the same products
 as golden conv2d_int8_simple — order-independent, so exact.
@@ -142,7 +147,7 @@ def pack_conv_bsr(
     )
 
 
-def _sconv_kernel(kh_ref, kw_ref, cb_ref, ob_ref, x_ref, w_ref, bias_ref,
+def _sconv_kernel(row_ref, pln_ref, cb_ref, ob_ref, x_ref, w_ref, bias_ref,
                   fct_ref, o_ref, acc_ref, *, chunk: int, n_chunks: int,
                   ho: int, wo: int, block_c: int, block_o: int,
                   relu: bool, requant: bool, has_bias: bool):
@@ -154,14 +159,15 @@ def _sconv_kernel(kh_ref, kw_ref, cb_ref, ob_ref, x_ref, w_ref, bias_ref,
 
     for g in range(chunk):
         b = c * chunk + g
-        kh = kh_ref[b]
-        kw = kw_ref[b]
+        row = row_ref[b]
+        pln = pln_ref[b]
         c0 = cb_ref[b] * block_c
         o0 = pl.multiple_of(ob_ref[b] * block_o, block_o)
         # The block's activation slab: [ti, Ho, Wo, block_c] window of
-        # the kw-shifted resident input plane (stride-1 taps; kh offsets
-        # an untiled dim, the width slice is static).
-        slab = x_ref[kw, :, pl.ds(kh, ho), :,
+        # the tap's phase plane (plane index and row offset encode the
+        # (kh, kw, stride) tap; both land on untiled dims, the width
+        # slice is static).
+        slab = x_ref[pln, :, pl.ds(row, ho), :,
                      pl.ds(pl.multiple_of(c0, block_c), block_c)]
         ti = slab.shape[0]
         a2 = slab.reshape(ti * ho * wo, block_c)
@@ -191,29 +197,34 @@ def sparse_conv2d_int8(
     bias: Optional[jnp.ndarray] = None,
     factors: Optional[np.ndarray] = None,
     relu: bool = False,
+    stride: int = 1,
     img_tile: int = 8,
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused-gather zero-skip conv: [N, C, H, W] int8 -> [N, O, Ho, Wo].
 
-    Stride-1 convolutions only (the model falls back to the dense native
-    conv elsewhere).
+    Any ``stride`` >= 1: the input is decomposed into ``kernel * stride``
+    stride-downsampled phase planes so every tap is a contiguous in-VMEM
+    slice (see module docstring).
     """
     N, C, H, W = x.shape
     if C != cbsr.c_in:
         raise ValueError(f"input C={C}, weights expect {cbsr.c_in}")
-    k, p = cbsr.kernel, cbsr.padding
-    Ho, Wo = H + 2 * p - k + 1, W + 2 * p - k + 1
+    k, p, s = cbsr.kernel, cbsr.padding, stride
+    Ho = (H + 2 * p - k) // s + 1
+    Wo = (W + 2 * p - k) // s + 1
+    rows_pl = (k - 1) // s + Ho      # rows per phase plane
+    n_planes = k * s
     requant = factors is not None
 
     # Auto-shrink the image tile until the VMEM working set fits:
-    # k input copies (double-buffered) + int32 accumulator + output.
+    # k*s phase planes (double-buffered) + int32 accumulator + output.
     Op_ = round_up(cbsr.c_out, cbsr.block_o)
     budget = 10 * 1024 * 1024
     img_tile = min(img_tile, N)
     while img_tile > 1:
         rows_ = img_tile * Ho * Wo
-        need = (2 * k * img_tile * (H + 2 * p) * Wo * C
+        need = (2 * n_planes * img_tile * rows_pl * Wo * C
                 + rows_ * Op_ * 4
                 + 2 * rows_ * Op_ * (1 if requant else 4)
                 + 2 * cbsr.chunk * cbsr.block_c * cbsr.block_o)
@@ -222,10 +233,24 @@ def sparse_conv2d_int8(
         img_tile //= 2
     Np_img = round_up(N, img_tile)
     # NCHW -> padded NHWC (channel-minor so channel blocks are lanes),
-    # then k width-shifted copies so kw indexes an untiled leading dim.
+    # then one stride-downsampled plane per (kw, kh % s) tap phase so
+    # both tap coordinates index untiled dims in the kernel.
     xh = jnp.transpose(x, (0, 2, 3, 1))
     xh = jnp.pad(xh, ((0, Np_img - N), (p, p), (p, p), (0, 0)))
-    xsh = jnp.stack([xh[:, :, j:j + Wo, :] for j in range(k)], axis=0)
+    planes = []
+    for kw in range(k):
+        for ph in range(s):
+            pp = xh[:, ph::s, kw::s, :][:, :rows_pl, :Wo, :]
+            planes.append(jnp.pad(
+                pp, ((0, 0), (0, rows_pl - pp.shape[1]),
+                     (0, Wo - pp.shape[2]), (0, 0))))
+    xsh = jnp.stack(planes, axis=0)
+    # Per-block tap -> (plane, row) schedule (host-side numpy on the
+    # packed constants; stride is a call-time property of the layer).
+    kh_np = np.asarray(cbsr.kh_of)
+    kw_np = np.asarray(cbsr.kw_of)
+    pln_of = jnp.asarray((kw_np * s + kh_np % s).astype(np.int32))
+    row_of = jnp.asarray((kh_np // s).astype(np.int32))
 
     Op = round_up(cbsr.c_out, cbsr.block_o)
     bias_p = jnp.zeros((1, Op), jnp.int32)
@@ -251,7 +276,7 @@ def sparse_conv2d_int8(
         grid=(Np_img // img_tile, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (k, img_tile, H + 2 * p, Wo, C),
+                (n_planes, img_tile, rows_pl, Wo, C),
                 lambda it, c, kh, kw, cb, ob: (0, it, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -282,7 +307,7 @@ def sparse_conv2d_int8(
             + cbsr.nnz * cbsr.block_c * cbsr.block_o,
             transcendentals=0),
         interpret=backend_mod.interpret_mode(backend),
-    )(cbsr.kh_of, cbsr.kw_of, cbsr.c_of, cbsr.o_of,
+    )(row_of, pln_of, cbsr.c_of, cbsr.o_of,
       xsh, cbsr.blocks, bias_p, fct_p)
 
     out = out.reshape(Np_img, Ho, Wo, Op)[:N, :, :, :cbsr.c_out]

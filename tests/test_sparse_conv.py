@@ -87,6 +87,50 @@ class TestSparseConvKernel:
         out = np.asarray(sparse_conv2d_int8(jnp.asarray(x), cbsr))
         assert np.all(out == 0)
 
+    @pytest.mark.parametrize("hw", [8, 9])
+    def test_stride2_3x3_bit_exact(self, hw):
+        rng = np.random.default_rng(5)
+        O, C, K = 128, 128, 3
+        w = sparse_conv_weight(rng, O, C, K, 128, 128, 0.4)
+        x = rng.integers(-128, 128, (2, C, hw, hw)).astype(np.int8)
+        bias = rng.integers(-2000, 2000, O).astype(np.int32)
+        cbsr = pack_conv_bsr(w, padding=1)
+        out = np.asarray(sparse_conv2d_int8(
+            jnp.asarray(x), cbsr, bias=jnp.asarray(bias), stride=2))
+        exp = np.stack([
+            golden.conv2d_int8_simple(x[i], w, bias, 2, 1)
+            for i in range(2)])
+        np.testing.assert_array_equal(out, exp)
+
+    def test_stride2_1x1_downsample_shape(self):
+        # The ResNet-18 downsample conv: 1x1, stride 2, padding 0.
+        rng = np.random.default_rng(6)
+        O, C = 128, 64
+        w = sparse_conv_weight(rng, O, C, 1, 128, 64, 0.5)
+        x = rng.integers(-128, 128, (2, C, 8, 8)).astype(np.int8)
+        cbsr = pack_conv_bsr(w, padding=0, block_c=64)
+        out = np.asarray(sparse_conv2d_int8(jnp.asarray(x), cbsr,
+                                            stride=2))
+        exp = np.stack([golden.conv2d_int8_simple(x[i], w, None, 2, 0)
+                        for i in range(2)])
+        np.testing.assert_array_equal(out, exp)
+
+    def test_stride2_fused_requant_relu(self):
+        rng = np.random.default_rng(7)
+        O, C, K = 64, 64, 3
+        w = sparse_conv_weight(rng, O, C, K, 64, 64, 0.4)
+        x = rng.integers(-128, 128, (1, C, 9, 9)).astype(np.int8)
+        ws = rng.uniform(0.001, 0.01, O).astype(np.float32)
+        f = requant_factors(0.02, ws, 0.06)
+        cbsr = pack_conv_bsr(w, padding=1, block_o=64, block_c=64)
+        out = np.asarray(sparse_conv2d_int8(
+            jnp.asarray(x), cbsr, factors=f, relu=True, stride=2))
+        acc = golden.conv2d_int8_simple(x[0], w, None, 2, 1)
+        acc = np.maximum(acc, 0)
+        exp = np.clip(np.rint(acc.astype(np.float32)
+                              * f[:, None, None]), -128, 127).astype(np.int8)
+        np.testing.assert_array_equal(out[0], exp)
+
     def test_output_channels_not_multiple(self):
         rng = np.random.default_rng(4)
         # O=100 pads to block_o grid
