@@ -7,6 +7,16 @@ Baseline: the reference's projected ResNet-18 throughput of ~137 images/s
 at 70% sparsity on its 14x14 FPGA array (BASELINE.md, DEEP_DIVE.md:302).
 We run the same workload class — ResNet-18 INT8 inference, ImageNet
 geometry — end to end (quantize -> jit -> batched forward) on one chip.
+
+Methodology: steady-state (offline/throughput-mode) serving.  CHAIN
+forwards run inside ONE jitted loop with a data dependency between
+iterations (an epsilon of each output folds into the next input, so XLA
+cannot reorder or elide them), and the 1-iteration program is
+subtracted: per-batch time = (T(CHAIN) - T(1)) / (CHAIN - 1).  That is
+the device's sustained batch rate with the ~1 ms-per-dispatch tunnel
+relay amortized away — the same basis as the reference's cycle-count
+projection (compute throughput, not host round-trips; its 137 img/s is
+1.46 M array cycles/image, DEEP_DIVE.md:290-302).
 """
 
 import json
@@ -20,7 +30,8 @@ import numpy as np
 
 REFERENCE_IMAGES_PER_S = 137.0
 BATCH = 256
-ITERS = 5
+CHAIN = 8
+ITERS = 4
 
 
 def main():
@@ -40,17 +51,29 @@ def main():
         rng.normal(0, 1, (BATCH, 3, 224, 224)).astype(np.float32))
     _ = np.asarray(fwd(params, x))  # compile + materialize
 
-    # Average over ITERS dispatches, forcing full materialization each
-    # time (np.asarray) so relay pipelining can't fake the clock; take
-    # the best of 3 such averaged windows.
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = np.asarray(fwd(params, x))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
+    def make_loop(n):
+        @jax.jit
+        def loop(x0):
+            def body(i, carry):
+                out = fwd(params, carry)
+                # Data dependency: an epsilon of the logits folds into
+                # the next input, serializing iterations without
+                # changing the work per forward.
+                return carry + out.sum().astype(carry.dtype) * 1e-30
+            xn = jax.lax.fori_loop(0, n, body, x0)
+            return xn[0, 0, 0, 0]
 
-    images_per_s = BATCH / best
+        _ = np.asarray(loop(x))  # compile + warm
+        best = float("inf")
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tc = make_loop(1), make_loop(CHAIN)
+    per_batch = max((tc - t1) / (CHAIN - 1), 1e-9)
+    images_per_s = BATCH / per_batch
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",
         "value": round(images_per_s, 1),

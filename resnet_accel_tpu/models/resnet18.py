@@ -491,6 +491,10 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         return _make_forward_nhwc(model, use_pallas, backend)
 
     def run_conv(params, prefix, qc: QConv, x):
+        with jax.named_scope(prefix):
+            return _run_conv(params, prefix, qc, x)
+
+    def _run_conv(params, prefix, qc: QConv, x):
         if qc.bsr is not None and use_pallas:
             # Sparse layer: im2col -> zero-skip BSR GEMM with the fused
             # bias/ReLU/requant epilogue.
@@ -522,18 +526,22 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         a = quantize_input(x, model.s_input)
         a = run_conv(params, "stem", model.stem, a)
         if not model.small_input:
-            a = maxpool2d_int8(a, 3, 2, padding=1)
+            with jax.named_scope("stem.pool"):
+                a = maxpool2d_int8(a, 3, 2, padding=1)
         for i, blk in enumerate(model.blocks):
             y = run_conv(params, f"b{i}.c1", blk.conv1, a)
             y = run_conv(params, f"b{i}.c2", blk.conv2, y)
             r = run_conv(params, f"b{i}.ds", blk.downsample, a) \
                 if blk.downsample is not None else a
-            a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
-                             relu=True)
-        a = avgpool_global_int8(a)
-        acc = matmul_int8(a, params["fc.w"], bias=params["fc.b"],
-                          use_pallas=use_pallas, backend=backend)
-        return acc.astype(jnp.float32) * params["fc.deq"][None, :]
+            with jax.named_scope(f"b{i}.add"):
+                a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
+                                 relu=True)
+        with jax.named_scope("avgpool"):
+            a = avgpool_global_int8(a)
+        with jax.named_scope("fc"):
+            acc = matmul_int8(a, params["fc.w"], bias=params["fc.b"],
+                              use_pallas=use_pallas, backend=backend)
+            return acc.astype(jnp.float32) * params["fc.deq"][None, :]
 
     return forward
 

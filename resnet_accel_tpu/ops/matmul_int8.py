@@ -220,7 +220,7 @@ def matmul_int8(
     relu: bool = False,
     tile_m: int = 256,
     tile_n: int = 256,
-    tile_k: int = 512,
+    tile_k: int = 1024,
     backend: Optional[str] = None,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
