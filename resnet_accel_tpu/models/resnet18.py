@@ -44,7 +44,7 @@ from resnet_accel_tpu.ops import (
     quantize_input,
     requant_factors,
 )
-from resnet_accel_tpu.ops.conv import conv2d_int8_nhwc
+from resnet_accel_tpu.ops.conv import conv2d_int8_nhwc, space_to_depth_nchw
 from resnet_accel_tpu.ops.pooling import (
     avgpool_global_int8_nhwc,
     maxpool2d_int8_nhwc,
@@ -477,7 +477,8 @@ def prune_params_blockwise(
 def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  backend: Optional[str] = None,
                  conv_method: str = "native",
-                 layout: str = "NCHW"):
+                 layout: str = "NCHW",
+                 stem_s2d: bool = True):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -490,7 +491,32 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             qc.bsr is not None for _, qc in model.named_convs()):
         return _make_forward_nhwc(model, use_pallas, backend)
 
+    # Space-to-depth stem (the MLPerf ResNet trick): the 7x7/s2/p3 conv
+    # on 3 channels maps the MXU badly; regrouped by 2x2 pixel parity it
+    # becomes a 4x4/s1 conv on 12 channels at half the spatial size —
+    # bit-identical (stem_s2d_weights pads with structural zeros).
+    use_s2d = (stem_s2d and model.stem.bsr is None
+               and conv_method == "native"
+               and model.stem.kernel == 7 and model.stem.stride == 2
+               and model.stem.padding == 3)
+
+    def run_stem_s2d(params, qc: QConv, x):
+        with jax.named_scope("stem"):
+            O, C = qc.w2d.shape[0], qc.in_channels
+            w4 = params["stem.w"].reshape(O, C, 7, 7)
+            w8 = jnp.pad(w4, ((0, 0), (0, 0), (1, 0), (1, 0)))
+            w = w8.reshape(O, C, 4, 2, 4, 2).transpose(
+                0, 1, 3, 5, 2, 4).reshape(O, -1)
+            return conv2d_int8(
+                space_to_depth_nchw(x), w, bias=params["stem.b"],
+                kernel=4, stride=1, padding=((2, 1), (2, 1)),
+                factors=params["stem.f"], relu=qc.relu,
+                use_pallas=use_pallas, backend=backend, method="native")
+
     def run_conv(params, prefix, qc: QConv, x):
+        if prefix == "stem" and use_s2d and x.shape[2] % 2 == 0 \
+                and x.shape[3] % 2 == 0:
+            return run_stem_s2d(params, qc, x)
         with jax.named_scope(prefix):
             return _run_conv(params, prefix, qc, x)
 

@@ -54,6 +54,38 @@ def im2col_nchw(
     return p.reshape(N, H_out * W_out, C * K * K)
 
 
+def space_to_depth_nchw(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """[N, C, H, W] -> [N, C*block^2, H/block, W/block]; channel order is
+    (c, row-parity, col-parity) to match stem_s2d_weights."""
+    N, C, H, W = x.shape
+    x = x.reshape(N, C, H // block, block, W // block, block)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(N, C * block * block, H // block, W // block)
+
+
+def stem_s2d_weights(weight2d: np.ndarray, in_c: int,
+                     kernel: int) -> np.ndarray:
+    """Space-to-depth transform of a (kernel, stride 2, pad kernel//2)
+    conv weight — the MLPerf ResNet stem trick, exact in int8.
+
+    The k x k taps are zero-padded at the front to (k+1) x (k+1) and
+    regrouped by (row, col) parity into a ((k+1)/2)^2-tap conv over the
+    2x2-space-to-depth input.  Every original product is preserved and
+    the added taps multiply structural zeros, so int32 accumulation is
+    bit-identical.  Use with space_to_depth_nchw(x) and padding
+    ((p+1)//2, (p-1)//2) per side where p = kernel//2.
+    """
+    if kernel % 2 == 0:
+        raise ValueError("stem_s2d_weights expects an odd kernel")
+    O = weight2d.shape[0]
+    w4 = np.asarray(weight2d).reshape(O, in_c, kernel, kernel)
+    w8 = np.pad(w4, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    k2 = (kernel + 1) // 2
+    w = w8.reshape(O, in_c, k2, 2, k2, 2).transpose(0, 1, 3, 5, 2, 4)
+    return np.ascontiguousarray(
+        w.reshape(O, in_c * 4, k2, k2)).reshape(O, -1)
+
+
 def conv2d_int8(
     x: jnp.ndarray,
     weight2d: jnp.ndarray,
@@ -87,14 +119,21 @@ def conv2d_int8(
     """
     N, C, H, W = x.shape
     C_out = weight2d.shape[0]
-    H_out = (H + 2 * padding - kernel) // stride + 1
-    W_out = (W + 2 * padding - kernel) // stride + 1
+    # padding: int (symmetric) or ((top, bottom), (left, right)) —
+    # asymmetric pairs are native-method only (space-to-depth stems).
+    if isinstance(padding, int):
+        pad_hw = [(padding, padding), (padding, padding)]
+    else:
+        pad_hw = [tuple(padding[0]), tuple(padding[1])]
+        if method != "native":
+            raise ValueError("asymmetric padding requires method='native'")
+    H_out = (H + sum(pad_hw[0]) - kernel) // stride + 1
+    W_out = (W + sum(pad_hw[1]) - kernel) // stride + 1
 
     if method == "native":
         w4d = weight2d.reshape(C_out, C, kernel, kernel)
         acc = jax.lax.conv_general_dilated(
-            x, w4d, (stride, stride),
-            [(padding, padding), (padding, padding)],
+            x, w4d, (stride, stride), pad_hw,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.int32)
         if factors is not None:
