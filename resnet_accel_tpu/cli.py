@@ -253,7 +253,8 @@ def cmd_fixtures(args):
 
 
 def cmd_profile(args):
-    """Per-layer roofline profile of ResNet-18 INT8 (PerfCounters table)."""
+    """Per-layer profile of ResNet-18 INT8: roofline table (default) or
+    measured per-HLO device times via --measured (TPU only)."""
     from resnet_accel_tpu.models.resnet18 import (
         init_resnet18_fp32, quantize_resnet18, make_forward)
     from resnet_accel_tpu.runtime import InferenceEngine
@@ -265,6 +266,17 @@ def cmd_profile(args):
     calib = rng.normal(0, 1, (2, 3, hw, hw)).astype(np.float32)
     model = quantize_resnet18(fp32, calib, args.num_classes,
                               args.small_input)
+    if args.measured:
+        import jax.numpy as jnp
+        from resnet_accel_tpu.runtime import xprof
+
+        fwd = make_forward(model)
+        params = model.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (args.batch, 3, hw, hw)),
+                        jnp.float32)
+        agg, _ = xprof.profile_layers(lambda p, a: fwd(p, a), params, x)
+        print(xprof.layer_table(agg))
+        return 0
     eng = InferenceEngine(model, make_forward, backend=args.backend)
     x = rng.normal(0, 1, (args.batch, 3, hw, hw)).astype(np.float32)
     print(eng.profile(x, iters=args.iters))
@@ -341,6 +353,9 @@ def build_parser():
     pv.set_defaults(fn=cmd_verify)
 
     pp = sub.add_parser("profile", help="per-layer roofline profile")
+    pp.add_argument("--measured", action="store_true",
+                    help="measured per-layer device times from the "
+                         "xprof trace (TPU only)")
     pp.add_argument("--batch", type=int, default=32)
     pp.add_argument("--num-classes", type=int, default=1000)
     pp.add_argument("--small-input", action="store_true")
