@@ -136,8 +136,6 @@ def serialize_hw_stream(bsr: BSRMatrix) -> bytes:
     Parity with bsr_packer.hpp:492-575.  u16 indices bound geometry to
     65535 block rows/cols — validated here like the reference does.
     """
-    if bsr.num_block_rows + 1 > 65536 or bsr.nnz_blocks > 65535 * 1:
-        pass  # row_ptr values are block counts; checked below
     if bsr.row_ptr[-1] > 65535:
         raise ValueError("hw stream format: row_ptr exceeds u16 range")
     if bsr.col_idx.size and bsr.col_idx.max() > 65535:
@@ -173,19 +171,39 @@ def deserialize_hw_stream(
 # 4. DMA image format (sw/host/memory.py pack_for_dma)
 # --------------------------------------------------------------------------
 
-def pack_dma_image(bsr: BSRMatrix) -> bytes:
-    """[row_ptr u32][col_idx u16][blocks int8] — geometry out of band."""
-    return (bsr.row_ptr.astype("<u4").tobytes()
-            + bsr.col_idx.astype("<u2").tobytes()
-            + np.ascontiguousarray(bsr.data.astype(np.int8)).tobytes())
+def pack_dma_image(bsr: BSRMatrix, crc: bool = False) -> bytes:
+    """[row_ptr u32][col_idx u16][blocks int8] — geometry out of band.
+
+    ``crc=True`` appends a CRC-32 trailer (u32 LE) over the payload —
+    the reference's optional DMA integrity check (axi_driver.py's
+    CRC-32 transfer mode); unpack verifies it and raises on corruption.
+    """
+    buf = (bsr.row_ptr.astype("<u4").tobytes()
+           + bsr.col_idx.astype("<u2").tobytes()
+           + np.ascontiguousarray(bsr.data.astype(np.int8)).tobytes())
+    if crc:
+        import zlib
+        buf += struct.pack("<I", zlib.crc32(buf) & 0xFFFFFFFF)
+    return buf
 
 
 def unpack_dma_image(
     buf: bytes, num_block_rows: int, nnz_blocks: int,
     block_h: int, block_w: int,
     shape: Optional[Tuple[int, int]] = None,
+    crc: bool = False,
 ) -> BSRMatrix:
     """Inverse of pack_dma_image given the out-of-band geometry."""
+    if crc:
+        import zlib
+        payload, trailer = buf[:-4], buf[-4:]
+        want = struct.unpack("<I", trailer)[0]
+        got = zlib.crc32(payload) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError(
+                f"DMA image CRC mismatch: stored {want:#010x}, "
+                f"computed {got:#010x}")
+        buf = payload
     off = 0
     row_ptr = np.frombuffer(buf, "<u4", num_block_rows + 1, off).astype(np.int32)
     off += (num_block_rows + 1) * 4

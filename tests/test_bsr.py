@@ -143,3 +143,21 @@ class TestSerialization:
                                14, 14, shape=bsr.shape)
         np.testing.assert_array_equal(out.data, bsr.data)
         np.testing.assert_array_equal(out.to_dense(), bsr.to_dense())
+
+    def test_dma_image_crc_roundtrip(self):
+        bsr = self.make()
+        buf = pack_dma_image(bsr, crc=True)
+        assert len(buf) == len(pack_dma_image(bsr)) + 4
+        out = unpack_dma_image(buf, bsr.num_block_rows, bsr.nnz_blocks,
+                               14, 14, shape=bsr.shape, crc=True)
+        np.testing.assert_array_equal(out.to_dense(), bsr.to_dense())
+
+    def test_dma_image_crc_detects_corruption(self):
+        import pytest
+        bsr = self.make()
+        buf = bytearray(pack_dma_image(bsr, crc=True))
+        buf[len(buf) // 2] ^= 0x40  # flip one payload bit
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            unpack_dma_image(bytes(buf), bsr.num_block_rows,
+                             bsr.nnz_blocks, 14, 14, shape=bsr.shape,
+                             crc=True)
