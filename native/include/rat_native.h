@@ -137,6 +137,37 @@ int64_t rat_arena_capacity(const rat_arena* arena);
 void rat_arena_reset(rat_arena* arena);
 void rat_arena_destroy(rat_arena* arena);
 
+/* ---------------------------------------------------------------------
+ * Threaded batch loader (the host-side act_dma / ping-pong buffer role:
+ * background workers gather, normalize and INT8-quantize batches into a
+ * bounded ring so device dispatch never waits on host preprocessing)
+ * ------------------------------------------------------------------- */
+
+typedef struct rat_loader rat_loader;
+
+/* images: [n, item_len] uint8, channel-major (CHW flattened); labels:
+ * [n] int32 (may be NULL).  Per batch j, workers produce
+ *   out[i] = clip(rint(((u8/255) - mean[c]) / std[c] / quant_scale))
+ * as int8, c = channel of element i (item_len % channels == 0).
+ * shuffle != 0 reshuffles deterministically every epoch from seed.
+ * depth = ring slots (>= 2 for overlap); n_threads >= 1.
+ * The loader keeps its own copy of images/labels/mean/std. */
+rat_loader* rat_loader_create(const uint8_t* images, int64_t n,
+                              int64_t item_len, const int32_t* labels,
+                              int64_t batch, int64_t channels,
+                              const float* mean, const float* std_dev,
+                              float quant_scale, int shuffle,
+                              uint64_t seed, int n_threads, int depth);
+
+/* Blocking: copy the next batch (in sequence order) into out_images
+ * [batch, item_len] int8 and out_labels [batch] int32 (may be NULL).
+ * Returns the batch's sequence number (0, 1, 2, ...). */
+int64_t rat_loader_next(rat_loader* ld, int8_t* out_images,
+                        int32_t* out_labels);
+
+int64_t rat_loader_batches_per_epoch(const rat_loader* ld);
+void rat_loader_destroy(rat_loader* ld);
+
 /* Library version / self test. */
 const char* rat_version(void);
 int rat_self_test(void);

@@ -3,6 +3,7 @@
 // test_bsr_packer.cpp coverage).
 
 #include <cassert>
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <vector>
@@ -138,6 +139,76 @@ static void test_arena() {
   rat_arena_destroy(a);
 }
 
+static void test_loader() {
+  // 10 items of 4 bytes (2 channels x inner 2), batch 3 -> bpe 3.
+  const int64_t n = 10, item = 4, batch = 3;
+  std::vector<uint8_t> imgs(n * item);
+  std::vector<int32_t> labels(n);
+  for (int64_t i = 0; i < n; ++i) {
+    labels[i] = static_cast<int32_t>(100 + i);
+    for (int64_t j = 0; j < item; ++j)
+      imgs[i * item + j] = static_cast<uint8_t>(i * 16 + j);
+  }
+  const float mean[2] = {0.0f, 0.5f}, stdv[2] = {1.0f, 0.5f};
+  const float scale = 0.02f;
+
+  // Reference for one sample, no shuffle.
+  auto expect = [&](int64_t s, int64_t j) {
+    const int64_t c = j / 2;
+    float f = ((imgs[s * item + j] / 255.0f) - mean[c]) / stdv[c] / scale;
+    float r = std::nearbyint(f);
+    return static_cast<int8_t>(r < -128 ? -128 : (r > 127 ? 127 : r));
+  };
+
+  // Many threads vs one thread: identical in-order streams.
+  for (int threads : {1, 4}) {
+    rat_loader* ld = rat_loader_create(
+        imgs.data(), n, item, labels.data(), batch, 2, mean, stdv,
+        scale, /*shuffle=*/0, /*seed=*/7, threads, /*depth=*/2);
+    CHECK(ld != nullptr);
+    CHECK(rat_loader_batches_per_epoch(ld) == 3);
+    std::vector<int8_t> out(batch * item);
+    std::vector<int32_t> lab(batch);
+    for (int64_t b = 0; b < 7; ++b) {  // crosses an epoch boundary
+      CHECK(rat_loader_next(ld, out.data(), lab.data()) == b);
+      const int64_t off = (b % 3) * batch;  // no-shuffle order
+      for (int64_t i = 0; i < batch; ++i) {
+        CHECK(lab[i] == labels[off + i]);
+        for (int64_t j = 0; j < item; ++j)
+          CHECK(out[i * item + j] == expect(off + i, j));
+      }
+    }
+    rat_loader_destroy(ld);
+  }
+
+  // Shuffled: same seed -> same stream; each epoch is a permutation.
+  rat_loader* a = rat_loader_create(imgs.data(), n, item, labels.data(),
+                                    batch, 2, mean, stdv, scale, 1, 42,
+                                    3, 4);
+  rat_loader* b2 = rat_loader_create(imgs.data(), n, item, labels.data(),
+                                     batch, 2, mean, stdv, scale, 1, 42,
+                                     1, 2);
+  std::vector<int8_t> oa(batch * item), ob(batch * item);
+  std::vector<int32_t> la(batch), lb(batch);
+  for (int64_t k = 0; k < 6; ++k) {
+    rat_loader_next(a, oa.data(), la.data());
+    rat_loader_next(b2, ob.data(), lb.data());
+    CHECK(std::memcmp(oa.data(), ob.data(), oa.size()) == 0);
+    CHECK(std::memcmp(la.data(), lb.data(),
+                      la.size() * sizeof(int32_t)) == 0);
+  }
+  rat_loader_destroy(a);
+  rat_loader_destroy(b2);
+
+  // Invalid configs refuse.
+  CHECK(rat_loader_create(nullptr, n, item, nullptr, batch, 2, mean,
+                          stdv, scale, 0, 0, 1, 2) == nullptr);
+  CHECK(rat_loader_create(imgs.data(), n, item, nullptr, n + 1, 2, mean,
+                          stdv, scale, 0, 0, 1, 2) == nullptr);
+  CHECK(rat_loader_create(imgs.data(), n, 3, nullptr, batch, 2, mean,
+                          stdv, scale, 0, 0, 1, 2) == nullptr);
+}
+
 int main() {
   test_matmul();
   test_requantize_bankers();
@@ -146,6 +217,7 @@ int main() {
   test_serialization();
   test_pool_conv();
   test_arena();
+  test_loader();
   if (failures == 0) {
     std::printf("rat_test: ALL PASS\n");
     return 0;

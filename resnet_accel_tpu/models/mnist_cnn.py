@@ -237,11 +237,15 @@ def make_forward(
     backend: Optional[str] = None,
     conv_method: str = "native",
 ):
-    """Build the jit-able INT8 forward: fp32 NCHW images -> fp32 logits."""
+    """Build the jit-able INT8 forward: fp32 NCHW images -> fp32 logits.
+
+    int8 input is accepted as already-quantized (native.BatchLoader's
+    output with quant_scale = model.act_scales[0]); the on-device
+    quantize step is skipped."""
     s0, s1, s2, s3 = model.act_scales
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        xq = quantize_input(x, s0)
+        xq = x if x.dtype == jnp.int8 else quantize_input(x, s0)
         a = conv2d_int8(xq, params["conv1_w"], bias=params["conv1_b"],
                         kernel=3, factors=params["conv1_f"], relu=True,
                         use_pallas=use_pallas, backend=backend,

@@ -549,7 +549,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             use_pallas=use_pallas, backend=backend, method=conv_method)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        a = quantize_input(x, model.s_input)
+        a = x if x.dtype == jnp.int8 \
+            else quantize_input(x, model.s_input)
         a = run_conv(params, "stem", model.stem, a)
         if not model.small_input:
             with jax.named_scope("stem.pool"):
@@ -583,7 +584,8 @@ def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
             factors=params[f"{prefix}.f"], relu=qc.relu)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        a = quantize_input(x, model.s_input)
+        a = x if x.dtype == jnp.int8 \
+            else quantize_input(x, model.s_input)
         a = jnp.transpose(a, (0, 2, 3, 1))
         a = run_conv(params, "stem", model.stem, a)
         if not model.small_input:

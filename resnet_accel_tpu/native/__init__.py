@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
         "rat_bsr_serialize_hw_size": (i64, [i64, i64, i64, i64]),
         "rat_bsr_serialize_hw": (
             i64, [i8p, i32p, i32p, u8p, i64, i64, i64, i64, i64]),
+        "rat_loader_create": (
+            c.c_void_p, [u8p, i64, i64, i32p, i64, i64, f32p, f32p,
+                         c.c_float, c.c_int, c.c_uint64, c.c_int,
+                         c.c_int]),
+        "rat_loader_next": (i64, [c.c_void_p, i8p, i32p]),
+        "rat_loader_batches_per_epoch": (i64, [c.c_void_p]),
+        "rat_loader_destroy": (None, [c.c_void_p]),
         "rat_self_test": (c.c_int, []),
         "rat_version": (c.c_char_p, []),
     }
@@ -191,7 +198,6 @@ def bsr_pack(dense: np.ndarray, bh: int, bw: int
     h, w = dense.shape
     nnz = lib.rat_bsr_pack_count(_p(dense, ctypes.c_int8), h, w, bh, bw)
     nbr = -(-h // bh)
-    blocks = np.zeros((max(nnz, 1), bh, bw), np.int8)[:nnz or 0]
     blocks = np.zeros((nnz, bh, bw), np.int8)
     row_ptr = np.zeros(nbr + 1, np.int32)
     col_idx = np.zeros(max(nnz, 1), np.int32)
@@ -218,3 +224,76 @@ def bsr_serialize_hw(blocks, row_ptr, col_idx, nbc):
     if written < 0:
         raise ValueError("hw stream: u16 overflow")
     return buf.tobytes()
+
+
+class BatchLoader:
+    """Threaded native batch loader (act_dma / ping-pong buffer analog).
+
+    Background C++ workers gather, normalize and INT8-quantize batches
+    into a bounded ring ahead of the consumer:
+
+        out = clip(rint(((u8/255) - mean[c]) / std[c] / quant_scale))
+
+    Deterministic: batch j depends only on (seed, j); delivery is in
+    sequence order regardless of thread count.  Drop-last semantics.
+    """
+
+    def __init__(self, images_u8: np.ndarray, labels, batch: int,
+                 mean, std, quant_scale: float, shuffle: bool = True,
+                 seed: int = 0, n_threads: int = 2, depth: int = 2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not built (make -C native)")
+        imgs = np.ascontiguousarray(images_u8, np.uint8)
+        if imgs.ndim < 2:
+            raise ValueError("images must be [n, ...]")
+        n = imgs.shape[0]
+        self.item_shape = imgs.shape[1:]
+        item_len = int(np.prod(self.item_shape))
+        channels = int(np.asarray(mean).size)
+        mean_f = np.ascontiguousarray(mean, np.float32).reshape(-1)
+        std_f = np.ascontiguousarray(std, np.float32).reshape(-1)
+        lab = None
+        lab_p = None
+        if labels is not None:
+            lab = np.ascontiguousarray(labels, np.int32)
+            lab_p = _p(lab, ctypes.c_int32)
+        self._lib = lib
+        self._h = lib.rat_loader_create(
+            _p(imgs.reshape(n, item_len), ctypes.c_uint8), n, item_len,
+            lab_p, batch, channels, _p(mean_f, ctypes.c_float),
+            _p(std_f, ctypes.c_float), ctypes.c_float(quant_scale),
+            int(shuffle), seed, n_threads, depth)
+        if not self._h:
+            raise ValueError("invalid loader configuration")
+        self.batch = batch
+        self.item_len = item_len
+        self.batches_per_epoch = int(
+            lib.rat_loader_batches_per_epoch(self._h))
+
+    def next(self):
+        """Returns (images int8 [batch, *item_shape], labels int32)."""
+        out = np.empty((self.batch, self.item_len), np.int8)
+        lab = np.empty(self.batch, np.int32)
+        seq = self._lib.rat_loader_next(
+            self._h, _p(out, ctypes.c_int8), _p(lab, ctypes.c_int32))
+        if seq < 0:
+            raise RuntimeError("loader next failed")
+        return out.reshape((self.batch,) + self.item_shape), lab
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.rat_loader_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -8,6 +8,7 @@ from resnet_accel_tpu.runtime.backend import (
 from resnet_accel_tpu.runtime.engine import (
     InferenceEngine,
     InferenceResult,
+    StreamResult,
     AcceleratorError,
     AccelErrorCode,
     preprocess_imagenet,
@@ -28,6 +29,7 @@ __all__ = [
     "default_device",
     "InferenceEngine",
     "InferenceResult",
+    "StreamResult",
     "AcceleratorError",
     "AccelErrorCode",
     "preprocess_imagenet",

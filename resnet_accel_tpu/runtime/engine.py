@@ -91,6 +91,21 @@ class InferenceResult:
         return n / self.latency_s if self.latency_s else 0.0
 
 
+@dataclasses.dataclass
+class StreamResult:
+    """stream() output: whole-stream logits/labels + throughput."""
+
+    logits: np.ndarray
+    predictions: np.ndarray
+    labels: np.ndarray
+    latency_s: float
+    images_per_s: float
+
+    @property
+    def accuracy(self) -> float:
+        return float((self.predictions == self.labels).mean())
+
+
 class InferenceEngine:
     """Load a quantized model once, run batched INT8 inference many times.
 
@@ -166,6 +181,38 @@ class InferenceEngine:
                         total_ops=0, bytes_accessed=0)
         self.profiler.add(m)
         return m
+
+    def stream(self, loader, n_batches: int, k: int = 5
+               ) -> "StreamResult":
+        """Streaming inference off a native BatchLoader: dispatch every
+        batch asynchronously (JAX queues device work) so the C++ worker
+        threads prepare batch j+1 while the device runs batch j — the
+        act_dma / ping-pong overlap of the reference, host-side.
+
+        The loader must be configured with quant_scale = the model's
+        input activation scale; its int8 batches skip the on-device
+        quantize step (make_forward accepts int8 input directly).
+        """
+        t0 = time.perf_counter()
+        outs, labels = [], []
+        with jax.default_device(self._device):
+            for _ in range(n_batches):
+                x, y = loader.next()
+                outs.append(self._fwd(self.params, jnp.asarray(x)))
+                labels.append(y)
+            try:
+                jax.block_until_ready(outs)
+            except Exception as e:
+                raise AcceleratorError(
+                    AccelErrorCode.BACKEND_UNAVAILABLE, str(e))
+        dt = time.perf_counter() - t0
+        logits = np.concatenate([np.asarray(o) for o in outs])
+        return StreamResult(
+            logits=logits,
+            predictions=logits.argmax(axis=-1),
+            labels=np.concatenate(labels),
+            latency_s=dt,
+            images_per_s=logits.shape[0] / dt)
 
     def verify_accuracy(
         self, x: np.ndarray, labels: Sequence[int]

@@ -143,3 +143,61 @@ class TestRatTool:
                        check=True, capture_output=True)
         back = np.load(tmp_path / "back.npy")
         np.testing.assert_array_equal(back, W)
+
+
+@needs_native
+class TestBatchLoader:
+    def _make(self, **kw):
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (17, 1, 4, 4)).astype(np.uint8)
+        labs = np.arange(17, dtype=np.int32)
+        args = dict(batch=4, mean=[0.1307], std=[0.3081],
+                    quant_scale=0.02, shuffle=False, seed=9,
+                    n_threads=2, depth=2)
+        args.update(kw)
+        return imgs, labs, native.BatchLoader(imgs, labs, **args)
+
+    def test_matches_numpy_reference(self):
+        imgs, labs, ld = self._make()
+        with ld:
+            x, y = ld.next()
+            ref = np.clip(np.rint(
+                ((imgs[:4] / 255.0) - 0.1307) / 0.3081 / 0.02),
+                -128, 127).astype(np.int8)
+            np.testing.assert_array_equal(x, ref)
+            np.testing.assert_array_equal(y, labs[:4])
+            assert ld.batches_per_epoch == 4  # drop-last: 17 // 4
+
+    def test_thread_count_invariant_stream(self):
+        _, _, a = self._make(shuffle=True, n_threads=1, depth=2)
+        _, _, b = self._make(shuffle=True, n_threads=4, depth=3)
+        with a, b:
+            for _ in range(9):  # crosses two epoch boundaries
+                xa, ya = a.next()
+                xb, yb = b.next()
+                np.testing.assert_array_equal(xa, xb)
+                np.testing.assert_array_equal(ya, yb)
+
+    def test_shuffle_covers_epoch(self):
+        _, labs, ld = self._make(shuffle=True)
+        with ld:
+            seen = []
+            for _ in range(ld.batches_per_epoch):
+                _, y = ld.next()
+                seen.extend(y.tolist())
+        assert len(set(seen)) == len(seen)  # a permutation prefix
+        assert set(seen) <= set(labs.tolist())
+
+    def test_different_seeds_differ(self):
+        _, _, a = self._make(shuffle=True, seed=1)
+        _, _, b = self._make(shuffle=True, seed=2)
+        with a, b:
+            ya = np.concatenate([a.next()[1] for _ in range(3)])
+            yb = np.concatenate([b.next()[1] for _ in range(3)])
+        assert not np.array_equal(ya, yb)
+
+    def test_invalid_config_raises(self):
+        imgs = np.zeros((4, 1, 2, 2), np.uint8)
+        with pytest.raises(ValueError):
+            native.BatchLoader(imgs, None, batch=5, mean=[0.0],
+                               std=[1.0], quant_scale=0.1)
