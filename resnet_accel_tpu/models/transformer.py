@@ -233,8 +233,14 @@ class TransformerBlockInt8:
 
     # --------------------------------------------------------------- jax
     def __call__(self, x: jnp.ndarray, causal: bool = False,
-                 scales: Optional[Dict[str, float]] = None) -> jnp.ndarray:
-        """[T, d_model] fp32 -> [T, d_model] fp32."""
+                 scales: Optional[Dict[str, float]] = None,
+                 flash: bool = False) -> jnp.ndarray:
+        """[T, d_model] fp32 -> [T, d_model] fp32.
+
+        ``flash=True`` routes attention through the online-softmax
+        Pallas kernel (ops.flash_attention) — no [T, T] score tensor in
+        HBM; differs from the einsum path only by float reassociation.
+        """
         T, D = x.shape
         H = self.n_heads
         dh = D // H
@@ -257,16 +263,21 @@ class TransformerBlockInt8:
         qh = proj(self.wq, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
         kh = proj(self.wk, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
         vh = proj(self.wv, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
-        logits = jnp.einsum(
-            "htd,hsd->hts", qh, kh,
-            precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
-            jnp.float32(dh))
-        if causal:
-            mask = jnp.tril(jnp.ones((T, T), bool))
-            logits = jnp.where(mask[None], logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("hts,hsd->htd", attn, vh,
-                         precision=jax.lax.Precision.HIGHEST)
+        if flash:
+            from resnet_accel_tpu.ops.flash_attention import \
+                flash_attention
+            ctx = flash_attention(qh, kh, vh, causal=causal)
+        else:
+            logits = jnp.einsum(
+                "htd,hsd->hts", qh, kh,
+                precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+                jnp.float32(dh))
+            if causal:
+                mask = jnp.tril(jnp.ones((T, T), bool))
+                logits = jnp.where(mask[None], logits, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("hts,hsd->htd", attn, vh,
+                             precision=jax.lax.Precision.HIGHEST)
         ctx = ctx.transpose(1, 0, 2).reshape(T, D)
         x = x + proj(self.wo, ctx, "ctx")
 

@@ -2,6 +2,7 @@
 
 from resnet_accel_tpu.ops.matmul_int8 import matmul_int8, matmul_int8_xla
 from resnet_accel_tpu.ops.conv import conv2d_int8, im2col_nchw
+from resnet_accel_tpu.ops.flash_attention import flash_attention
 from resnet_accel_tpu.ops.pooling import maxpool2d_int8, avgpool_global_int8
 from resnet_accel_tpu.ops.epilogue import (
     requantize,
@@ -15,6 +16,7 @@ from resnet_accel_tpu.ops.epilogue import (
 
 __all__ = [
     "matmul_int8",
+    "flash_attention",
     "matmul_int8_xla",
     "conv2d_int8",
     "im2col_nchw",

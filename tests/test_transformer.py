@@ -55,6 +55,16 @@ class TestTransformerBlock:
         np.testing.assert_array_equal(a, b)
 
 
+class TestFlashPath:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_flash_matches_einsum_path(self, block, causal):
+        rng = np.random.default_rng(11)
+        x = rng.normal(0, 1, (16, 128)).astype(np.float32)
+        a = np.asarray(block(jnp.asarray(x), causal=causal))
+        b = np.asarray(block(jnp.asarray(x), causal=causal, flash=True))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
 class TestKVCacheDecode:
     def test_incremental_matches_full_causal(self, block):
         rng = np.random.default_rng(10)
