@@ -121,13 +121,19 @@ class TransformerLMInt8:
 
     # ------------------------------------------------------ full forward
     def forward(self, tokens: jnp.ndarray,
-                scales: Optional[Scales] = None) -> jnp.ndarray:
-        """Teacher-forced causal pass: int tokens [T] -> logits [T, V]."""
+                scales: Optional[Scales] = None,
+                flash: bool = False) -> jnp.ndarray:
+        """Teacher-forced causal pass: int tokens [T] -> logits [T, V].
+
+        ``flash=True`` routes attention through the online-softmax
+        Pallas kernel (prefill at serving length without the [T, T]
+        score tensor)."""
         T = tokens.shape[0]
         x = jnp.asarray(self.embed)[tokens] + jnp.asarray(self.pos)[:T]
         for i, blk in enumerate(self.blocks):
             x = blk(x, causal=True,
-                    scales=None if scales is None else scales[i])
+                    scales=None if scales is None else scales[i],
+                    flash=flash)
         return self._logits(x)
 
     def forward_golden(self, tokens: np.ndarray) -> np.ndarray:

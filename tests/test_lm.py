@@ -53,10 +53,27 @@ class TestTeacherForcedEquivalence:
         inc = np.stack(inc)
         np.testing.assert_allclose(inc, full, rtol=1e-4, atol=1e-4)
 
+    def test_flash_prefill_matches_einsum(self, lm, toks, scales):
+        a = np.asarray(lm.forward(jnp.asarray(toks), scales))
+        b = np.asarray(lm.forward(jnp.asarray(toks), scales, flash=True))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
     def test_golden_close_to_jax_dynamic(self, lm, toks):
         g = lm.forward_golden(toks)
         j = np.asarray(lm.forward(jnp.asarray(toks)))
         np.testing.assert_allclose(j, g, rtol=2e-3, atol=2e-3)
+
+
+class TestBatchedServing:
+    def test_vmap_forward_matches_loop(self, lm, scales):
+        rng = np.random.default_rng(8)
+        batch = rng.integers(0, 32, (3, 10)).astype(np.int32)
+        f = jax.jit(jax.vmap(lambda t: lm.forward(t, scales)))
+        out = np.asarray(f(jnp.asarray(batch)))
+        for i in range(3):
+            ref = np.asarray(lm.forward(jnp.asarray(batch[i]), scales))
+            np.testing.assert_allclose(out[i], ref, rtol=1e-5,
+                                       atol=1e-5)
 
 
 class TestGenerate:
