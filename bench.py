@@ -72,7 +72,13 @@ def main():
         return best
 
     t1, tc = make_loop(1), make_loop(CHAIN)
-    per_batch = max((tc - t1) / (CHAIN - 1), 1e-9)
+    per_batch = (tc - t1) / (CHAIN - 1)
+    if per_batch <= 0:
+        # Tunnel jitter swamped the subtraction; fail so the retry
+        # wrapper re-measures instead of printing an absurd number.
+        raise RuntimeError(
+            f"non-positive chained measurement: T({CHAIN})={tc:.4f}s "
+            f"<= T(1)={t1:.4f}s")
     images_per_s = BATCH / per_batch
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",

@@ -154,8 +154,14 @@ rat_loader* rat_loader_create(const uint8_t* images, int64_t n,
   if (images == nullptr || n <= 0 || item_len <= 0 || batch <= 0 ||
       batch > n || channels <= 0 || item_len % channels != 0 ||
       mean == nullptr || std_dev == nullptr || quant_scale <= 0.0f ||
-      n_threads < 1 || depth < 1)
+      !std::isfinite(quant_scale) || n_threads < 1 || depth < 1)
     return nullptr;
+  for (int64_t c = 0; c < channels; ++c) {
+    // std == 0 would divide to NaN/inf; NaN's int8 cast is UB.
+    if (!std::isfinite(mean[c]) || !(std_dev[c] > 0.0f) ||
+        !std::isfinite(std_dev[c]))
+      return nullptr;
+  }
   auto* ld = new rat_loader();
   ld->images.assign(images, images + n * item_len);
   if (labels != nullptr) ld->labels.assign(labels, labels + n);

@@ -165,21 +165,45 @@ class TransformerLMInt8:
         return self._logits(x)[0], new_caches
 
     def generate(self, prompt: jnp.ndarray, n_new: int, scales: Scales,
-                 jit: bool = True) -> jnp.ndarray:
-        """Greedy decode: prefill the prompt token-by-token through the
-        caches, then emit ``n_new`` argmax tokens — all one jitted
-        program (two ``lax.scan`` loops, static shapes)."""
+                 jit: bool = True, parallel_prefill: bool = True,
+                 flash: bool = False) -> jnp.ndarray:
+        """Greedy decode as one jitted program (static shapes).
+
+        Prefill fills the per-block KV caches from the prompt; by
+        default it runs as ONE full causal forward per block
+        (``TransformerBlockInt8.prefill`` — batched GEMMs, optionally
+        the flash-attention kernel via ``flash=True``), numerically
+        equal to the token-by-token path (``parallel_prefill=False``,
+        a ``lax.scan`` of decode steps).  Decoding then scans
+        ``n_new`` argmax steps through the caches.
+        """
 
         def run(prompt_toks):
-            caches = self.init_caches()
+            T = prompt_toks.shape[0]
 
-            def prefill(carry, tok):
-                caches = carry
-                logits, caches = self.decode_step(caches, tok, scales)
-                return caches, logits
+            if parallel_prefill:
+                x = jnp.asarray(self.embed)[prompt_toks] \
+                    + jnp.asarray(self.pos)[:T]
+                caches = []
+                for i, blk in enumerate(self.blocks):
+                    x, c = blk.prefill(x, scales[i],
+                                       blk.init_cache(self.max_len),
+                                       flash=flash)
+                    caches.append(c)
+                last = self._logits(x)[-1]
+            else:
+                caches = self.init_caches()
 
-            caches, logits = jax.lax.scan(prefill, caches, prompt_toks)
-            tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+                def prefill(carry, tok):
+                    caches = carry
+                    logits, caches = self.decode_step(caches, tok,
+                                                      scales)
+                    return caches, logits
+
+                caches, logits = jax.lax.scan(prefill, caches,
+                                              prompt_toks)
+                last = logits[-1]
+            tok = jnp.argmax(last).astype(jnp.int32)
 
             def step(carry, _):
                 caches, tok = carry

@@ -44,7 +44,11 @@ from resnet_accel_tpu.ops import (
     quantize_input,
     requant_factors,
 )
-from resnet_accel_tpu.ops.conv import conv2d_int8_nhwc, space_to_depth_nchw
+from resnet_accel_tpu.ops.conv import (
+    conv2d_int8_nhwc,
+    space_to_depth_nchw,
+    stem_s2d_weights,
+)
 from resnet_accel_tpu.ops.pooling import (
     avgpool_global_int8_nhwc,
     maxpool2d_int8_nhwc,
@@ -502,11 +506,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
 
     def run_stem_s2d(params, qc: QConv, x):
         with jax.named_scope("stem"):
-            O, C = qc.w2d.shape[0], qc.in_channels
-            w4 = params["stem.w"].reshape(O, C, 7, 7)
-            w8 = jnp.pad(w4, ((0, 0), (0, 0), (1, 0), (1, 0)))
-            w = w8.reshape(O, C, 4, 2, 4, 2).transpose(
-                0, 1, 3, 5, 2, 4).reshape(O, -1)
+            w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
             return conv2d_int8(
                 space_to_depth_nchw(x), w, bias=params["stem.b"],
                 kernel=4, stride=1, padding=((2, 1), (2, 1)),

@@ -241,6 +241,26 @@ class TransformerBlockInt8:
         Pallas kernel (ops.flash_attention) — no [T, T] score tensor in
         HBM; differs from the einsum path only by float reassociation.
         """
+        return self._forward_kv(x, causal, scales, flash)[0]
+
+    def prefill(self, x: jnp.ndarray, scales: Dict[str, float], cache,
+                flash: bool = False):
+        """Parallel KV-cache fill: one full causal forward over the
+        prompt [T, d_model] that also writes each position's K/V into
+        ``cache`` — numerically equal to T ``decode_step`` calls with
+        the same static scales, but one batched GEMM per projection
+        (and optionally the flash kernel) instead of T tiny ones.
+        Returns (y [T, d_model], cache with len = T)."""
+        T = x.shape[0]
+        y, k_flat, v_flat = self._forward_kv(x, True, scales, flash)
+        k_all = jax.lax.dynamic_update_slice(cache["k"], k_flat, (0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache["v"], v_flat, (0, 0))
+        return y, {"k": k_all, "v": v_all, "len": jnp.int32(T)}
+
+    def _forward_kv(self, x: jnp.ndarray, causal: bool,
+                    scales: Optional[Dict[str, float]],
+                    flash: bool):
+        """Shared body: returns (y, k_flat [T, D], v_flat [T, D])."""
         T, D = x.shape
         H = self.n_heads
         dh = D // H
@@ -261,8 +281,10 @@ class TransformerBlockInt8:
 
         h = ln(x, self.ln1_g, self.ln1_b)
         qh = proj(self.wq, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
-        kh = proj(self.wk, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
-        vh = proj(self.wv, h, "h1").reshape(T, H, dh).transpose(1, 0, 2)
+        k_flat = proj(self.wk, h, "h1")                   # [T, D]
+        v_flat = proj(self.wv, h, "h1")
+        kh = k_flat.reshape(T, H, dh).transpose(1, 0, 2)
+        vh = v_flat.reshape(T, H, dh).transpose(1, 0, 2)
         if flash:
             from resnet_accel_tpu.ops.flash_attention import \
                 flash_attention
@@ -283,7 +305,7 @@ class TransformerBlockInt8:
 
         h = ln(x, self.ln2_g, self.ln2_b)
         m = jax.nn.gelu(proj(self.w1, h, "h2"))
-        return x + proj(self.w2, m, "mlp")
+        return x + proj(self.w2, m, "mlp"), k_flat, v_flat
 
     # ------------------------------------------------------------ golden
     def forward_golden(self, x: np.ndarray, causal: bool = False

@@ -255,6 +255,7 @@ class BatchLoader:
         std_f = np.ascontiguousarray(std, np.float32).reshape(-1)
         lab = None
         lab_p = None
+        self.has_labels = labels is not None
         if labels is not None:
             lab = np.ascontiguousarray(labels, np.int32)
             lab_p = _p(lab, ctypes.c_int32)

@@ -63,8 +63,7 @@ def space_to_depth_nchw(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return x.reshape(N, C * block * block, H // block, W // block)
 
 
-def stem_s2d_weights(weight2d: np.ndarray, in_c: int,
-                     kernel: int) -> np.ndarray:
+def stem_s2d_weights(weight2d, in_c: int, kernel: int) -> jnp.ndarray:
     """Space-to-depth transform of a (kernel, stride 2, pad kernel//2)
     conv weight — the MLPerf ResNet stem trick, exact in int8.
 
@@ -78,12 +77,13 @@ def stem_s2d_weights(weight2d: np.ndarray, in_c: int,
     if kernel % 2 == 0:
         raise ValueError("stem_s2d_weights expects an odd kernel")
     O = weight2d.shape[0]
-    w4 = np.asarray(weight2d).reshape(O, in_c, kernel, kernel)
-    w8 = np.pad(w4, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    # jnp ops so the single implementation serves both the host (numpy
+    # weights at export time) and the traced forward (device params).
+    w4 = jnp.asarray(weight2d).reshape(O, in_c, kernel, kernel)
+    w8 = jnp.pad(w4, ((0, 0), (0, 0), (1, 0), (1, 0)))
     k2 = (kernel + 1) // 2
     w = w8.reshape(O, in_c, k2, 2, k2, 2).transpose(0, 1, 3, 5, 2, 4)
-    return np.ascontiguousarray(
-        w.reshape(O, in_c * 4, k2, k2)).reshape(O, -1)
+    return w.reshape(O, -1)
 
 
 def conv2d_int8(

@@ -210,6 +210,8 @@ def sparse_conv2d_int8(
     N, C, H, W = x.shape
     if C != cbsr.c_in:
         raise ValueError(f"input C={C}, weights expect {cbsr.c_in}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     k, p, s = cbsr.kernel, cbsr.padding, stride
     Ho = (H + 2 * p - k) // s + 1
     Wo = (W + 2 * p - k) // s + 1

@@ -150,11 +150,12 @@ def profile_layers(
     (compile), once traced.
     """
     jfn = jax.jit(fn)
-    hlo = jfn.lower(*args).compile().as_text()
-    jax.block_until_ready(jfn(*args))
+    compiled = jfn.lower(*args).compile()  # one compile, reused below
+    hlo = compiled.as_text()
+    jax.block_until_ready(compiled(*args))
     logdir = logdir or tempfile.mkdtemp(prefix="rat_xprof_")
     with jax.profiler.trace(logdir):
-        jax.block_until_ready(jfn(*args))
+        jax.block_until_ready(compiled(*args))
     ops = parse_xplane_ops(latest_xplane(logdir), device_substr)
     ops = attribute(ops, parse_hlo_scopes(hlo))
     return by_scope(ops, depth=depth), ops

@@ -93,6 +93,21 @@ class TestGenerate:
             seq.append(nxt)
         assert got.tolist() == want
 
+    def test_parallel_prefill_matches_scan_prefill(self, lm, toks,
+                                                   scales):
+        prompt = jnp.asarray(toks[:5])
+        a = np.asarray(lm.generate(prompt, 4, scales,
+                                   parallel_prefill=True))
+        b = np.asarray(lm.generate(prompt, 4, scales,
+                                   parallel_prefill=False))
+        np.testing.assert_array_equal(a, b)
+
+    def test_flash_prefill_generate(self, lm, toks, scales):
+        prompt = jnp.asarray(toks[:5])
+        a = np.asarray(lm.generate(prompt, 4, scales, flash=True))
+        b = np.asarray(lm.generate(prompt, 4, scales, flash=False))
+        np.testing.assert_array_equal(a, b)
+
     def test_generate_is_jittable_scan(self, lm, toks, scales):
         # Same program twice -> identical tokens (determinism) and the
         # jitted path agrees with the eager path.

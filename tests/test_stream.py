@@ -59,7 +59,7 @@ class TestStream:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(res.predictions, ref.predictions)
 
-    def test_stream_accuracy_property(self, engine):
+    def test_stream_without_labels(self, engine):
         rng = np.random.default_rng(1)
         imgs_u8 = rng.integers(0, 256, (8, 1, 28, 28)).astype(np.uint8)
         s0 = engine.model.act_scales[0]
@@ -68,6 +68,24 @@ class TestStream:
                 std=[MNIST_STD], quant_scale=s0, shuffle=False,
                 n_threads=1, depth=2) as ld:
             res = engine.stream(ld, n_batches=2)
-        # labels default to 0 when none are supplied
-        assert res.labels.shape == (8,)
-        assert 0.0 <= res.accuracy <= 1.0
+        assert res.labels is None
+        with pytest.raises(ValueError, match="without labels"):
+            _ = res.accuracy
+
+    def test_single_batch_stream(self, engine):
+        rng = np.random.default_rng(2)
+        imgs_u8 = rng.integers(0, 256, (4, 1, 28, 28)).astype(np.uint8)
+        s0 = engine.model.act_scales[0]
+        with native.BatchLoader(
+                imgs_u8, np.arange(4, dtype=np.int32), batch=4,
+                mean=[MNIST_MEAN], std=[MNIST_STD], quant_scale=s0,
+                shuffle=False) as ld:
+            res = engine.stream(ld, n_batches=1)
+        assert res.logits.shape == (4, 10)
+        assert res.images_per_s > 0
+
+    def test_loader_rejects_zero_std(self):
+        imgs = np.zeros((4, 1, 2, 2), np.uint8)
+        with pytest.raises(ValueError):
+            native.BatchLoader(imgs, None, batch=2, mean=[0.5],
+                               std=[0.0], quant_scale=0.1)
