@@ -252,6 +252,42 @@ def cmd_fixtures(args):
     return 0
 
 
+def cmd_generate(args):
+    """Greedy decoding demo on the INT8 block-sparse decoder LM:
+    calibrated static scales, parallel KV-cache prefill (optional flash
+    attention), jitted scan decode."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from resnet_accel_tpu.models.lm import TransformerLMInt8
+
+    lm = TransformerLMInt8.from_random(
+        vocab=args.vocab, d_model=args.d_model, n_heads=args.heads,
+        d_ff=2 * args.d_model, n_layers=args.layers,
+        max_len=args.max_len, sparsity=args.sparsity, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    calib = rng.integers(0, args.vocab,
+                         min(16, args.max_len)).astype(np.int32)
+    scales = lm.calibrate(calib)
+    prompt = np.asarray(
+        [int(t) for t in args.prompt.split(",")], np.int32)
+    if prompt.size + args.n_new > args.max_len:
+        raise SystemExit("prompt + n_new exceeds --max-len")
+    t0 = _time.perf_counter()
+    toks = lm.generate(jnp.asarray(prompt), args.n_new, scales,
+                       flash=args.flash)
+    toks = np.asarray(toks)
+    dt = _time.perf_counter() - t0
+    print(f"prompt:    {prompt.tolist()}")
+    print(f"generated: {toks.tolist()}")
+    mean_sp = float(np.mean(
+        list(lm.blocks[0].sparsity_report().values())))
+    print(f"{args.n_new} tokens in {dt:.2f}s (incl. compile); "
+          f"sparsity {mean_sp:.0%} per projection")
+    return 0
+
+
 def cmd_profile(args):
     """Per-layer profile of ResNet-18 INT8: roofline table (default) or
     measured per-HLO device times via --measured (TPU only)."""
@@ -362,6 +398,22 @@ def build_parser():
     pp.add_argument("--iters", type=int, default=3)
     pp.add_argument("--backend", default=None)
     pp.set_defaults(fn=cmd_profile)
+
+    pg = sub.add_parser("generate",
+                        help="greedy decode on the INT8 sparse LM")
+    pg.add_argument("--prompt", default="1,2,3",
+                    help="comma-separated token ids")
+    pg.add_argument("--n-new", type=int, default=8)
+    pg.add_argument("--layers", type=int, default=2)
+    pg.add_argument("--d-model", type=int, default=128)
+    pg.add_argument("--heads", type=int, default=4)
+    pg.add_argument("--vocab", type=int, default=64)
+    pg.add_argument("--max-len", type=int, default=64)
+    pg.add_argument("--sparsity", type=float, default=0.8)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--flash", action="store_true",
+                    help="flash-attention prefill")
+    pg.set_defaults(fn=cmd_generate)
 
     pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")
     pf.add_argument("--output", required=True)

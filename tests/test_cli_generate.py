@@ -1,0 +1,46 @@
+"""CLI generate subcommand (tiny LM, CPU)."""
+
+import sys
+
+import numpy as np
+
+
+class TestCLIGenerate:
+    def test_generate_runs_and_is_deterministic(self, capsys):
+        from resnet_accel_tpu.cli import main
+
+        argv = ["prog", "generate", "--n-new", "3", "--layers", "1",
+                "--d-model", "64", "--heads", "2", "--max-len", "16",
+                "--prompt", "1,2"]
+        old = sys.argv
+        try:
+            sys.argv = argv
+            assert main() == 0
+            first = capsys.readouterr().out
+            sys.argv = argv
+            assert main() == 0
+            second = capsys.readouterr().out
+        finally:
+            sys.argv = old
+        gen = [ln for ln in first.splitlines()
+               if ln.startswith("generated:")]
+        assert len(gen) == 1
+        toks = eval(gen[0].split(":", 1)[1])  # noqa: S307 - test only
+        assert len(toks) == 3 and all(0 <= t < 64 for t in toks)
+        # deterministic across runs
+        assert gen == [ln for ln in second.splitlines()
+                       if ln.startswith("generated:")]
+
+    def test_prompt_too_long_exits(self):
+        import pytest
+
+        from resnet_accel_tpu.cli import main
+        old = sys.argv
+        try:
+            sys.argv = ["prog", "generate", "--n-new", "20",
+                        "--max-len", "8", "--prompt",
+                        ",".join("1" * 5)]
+            with pytest.raises(SystemExit):
+                main()
+        finally:
+            sys.argv = old
