@@ -493,7 +493,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     Sparse (attach_bsr) layers require NCHW."""
     if layout == "NHWC" and conv_method == "native" and not any(
             qc.bsr is not None for _, qc in model.named_convs()):
-        return _make_forward_nhwc(model, use_pallas, backend)
+        return _make_forward_nhwc(model, use_pallas, backend,
+                                  stem_s2d=stem_s2d)
 
     # Space-to-depth stem (the MLPerf ResNet trick): the 7x7/s2/p3 conv
     # on 3 channels maps the MXU badly; regrouped by 2x2 pixel parity it
@@ -574,7 +575,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
 
 
 def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
-                       backend: Optional[str]):
+                       backend: Optional[str], stem_s2d: bool = False):
     """Channel-minor pipeline: one transpose at entry, none after."""
 
     def run_conv(params, prefix, qc: QConv, x):
@@ -583,11 +584,32 @@ def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
             stride=qc.stride, padding=qc.padding,
             factors=params[f"{prefix}.f"], relu=qc.relu)
 
+    use_s2d = (stem_s2d and model.stem.kernel == 7
+               and model.stem.stride == 2 and model.stem.padding == 3)
+
+    def run_stem_s2d(params, qc: QConv, x):
+        # NHWC space-to-depth, channel order (c, row-parity,
+        # col-parity) to match stem_s2d_weights' packing.
+        N, H, W, C = x.shape
+        xs = x.reshape(N, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 5, 2, 4).reshape(
+            N, H // 2, W // 2, C * 4)
+        O = qc.w2d.shape[0]
+        w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
+        whwio = w.reshape(O, C * 4, 4, 4).transpose(2, 3, 1, 0)
+        return conv2d_int8_nhwc(
+            xs, whwio, bias=params["stem.b"], stride=1,
+            padding=((2, 1), (2, 1)), factors=params["stem.f"],
+            relu=qc.relu)
+
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
         a = x if x.dtype == jnp.int8 \
             else quantize_input(x, model.s_input)
         a = jnp.transpose(a, (0, 2, 3, 1))
-        a = run_conv(params, "stem", model.stem, a)
+        if use_s2d and a.shape[1] % 2 == 0 and a.shape[2] % 2 == 0:
+            a = run_stem_s2d(params, model.stem, a)
+        else:
+            a = run_conv(params, "stem", model.stem, a)
         if not model.small_input:
             a = maxpool2d_int8_nhwc(a, 3, 2, padding=1)
         for i, blk in enumerate(model.blocks):

@@ -170,10 +170,14 @@ def conv2d_int8_nhwc(
     lanes) — measured up to 3x faster than NCHW on early ResNet layers.
     Same int8x int8 -> int32 + fused epilogue contract; weights arrive
     pre-transposed to HWIO once at load time (models precompute them).
+    ``padding``: int or ((top, bottom), (left, right)).
     """
+    if isinstance(padding, int):
+        pad_hw = [(padding, padding), (padding, padding)]
+    else:
+        pad_hw = [tuple(padding[0]), tuple(padding[1])]
     acc = jax.lax.conv_general_dilated(
-        x, weight_hwio, (stride, stride),
-        [(padding, padding), (padding, padding)],
+        x, weight_hwio, (stride, stride), pad_hw,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     if factors is not None:
