@@ -178,6 +178,13 @@ class TransformerLMInt8:
         ``n_new`` argmax steps through the caches.
         """
 
+        n_prompt = int(np.asarray(prompt).shape[0])
+        if n_prompt + n_new > self.max_len:
+            raise ValueError(
+                f"prompt ({n_prompt}) + n_new ({n_new}) exceeds "
+                f"max_len ({self.max_len}); cache/position writes "
+                f"would silently clamp")
+
         def run(prompt_toks):
             T = prompt_toks.shape[0]
 
@@ -190,7 +197,7 @@ class TransformerLMInt8:
                                        blk.init_cache(self.max_len),
                                        flash=flash)
                     caches.append(c)
-                last = self._logits(x)[-1]
+                last = self._logits(x[-1:])[0]  # readout: last row only
             else:
                 caches = self.init_caches()
 

@@ -47,6 +47,7 @@ from resnet_accel_tpu.ops import (
 from resnet_accel_tpu.ops.conv import (
     conv2d_int8_nhwc,
     space_to_depth_nchw,
+    space_to_depth_nhwc,
     stem_s2d_weights,
 )
 from resnet_accel_tpu.ops.pooling import (
@@ -466,9 +467,13 @@ def prune_params_blockwise(
         n_prune = int(norms.size * sparsity)
         if n_prune == 0:
             continue
-        thresh = np.partition(norms.reshape(-1), n_prune - 1)[n_prune - 1]
-        mask = norms > thresh
-        full = np.repeat(np.repeat(mask, block, 0), block, 1)
+        # Exact quota via argsort (a threshold comparison prunes every
+        # tied block — all of them when norms are uniform).
+        keep = np.ones(norms.size, bool)
+        keep[np.argsort(norms.reshape(-1),
+                        kind="stable")[:n_prune]] = False
+        full = np.repeat(np.repeat(keep.reshape(norms.shape), block, 0),
+                         block, 1)
         w2 *= full[:H, :W]
         out[name] = w2.reshape(w.shape).astype(np.float32)
     return out
@@ -588,17 +593,12 @@ def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
                and model.stem.stride == 2 and model.stem.padding == 3)
 
     def run_stem_s2d(params, qc: QConv, x):
-        # NHWC space-to-depth, channel order (c, row-parity,
-        # col-parity) to match stem_s2d_weights' packing.
-        N, H, W, C = x.shape
-        xs = x.reshape(N, H // 2, 2, W // 2, 2, C)
-        xs = xs.transpose(0, 1, 3, 5, 2, 4).reshape(
-            N, H // 2, W // 2, C * 4)
-        O = qc.w2d.shape[0]
-        w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
+        C, O = qc.in_channels, qc.w2d.shape[0]
+        w = stem_s2d_weights(params["stem.w"], C, 7)
         whwio = w.reshape(O, C * 4, 4, 4).transpose(2, 3, 1, 0)
         return conv2d_int8_nhwc(
-            xs, whwio, bias=params["stem.b"], stride=1,
+            space_to_depth_nhwc(x), whwio, bias=params["stem.b"],
+            stride=1,
             padding=((2, 1), (2, 1)), factors=params["stem.f"],
             relu=qc.relu)
 

@@ -63,6 +63,16 @@ def space_to_depth_nchw(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return x.reshape(N, C * block * block, H // block, W // block)
 
 
+def space_to_depth_nhwc(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H/block, W/block, C*block^2]; same
+    (c, row-parity, col-parity) channel order as space_to_depth_nchw /
+    stem_s2d_weights."""
+    N, H, W, C = x.shape
+    x = x.reshape(N, H // block, block, W // block, block, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(N, H // block, W // block, C * block * block)
+
+
 def stem_s2d_weights(weight2d, in_c: int, kernel: int) -> jnp.ndarray:
     """Space-to-depth transform of a (kernel, stride 2, pad kernel//2)
     conv weight — the MLPerf ResNet stem trick, exact in int8.

@@ -205,32 +205,35 @@ class InferenceEngine:
                                    f"n_batches={n_batches} < 1")
         outs, labels = [], []
         has_labels = getattr(loader, "has_labels", True)
-        try:
-            with jax.default_device(self._device):
-                x0, y0 = loader.next()
-                x0 = jnp.asarray(x0)
-                first = self._fwd(self.params, x0)
-                jax.block_until_ready(first)  # compile, unclocked
-                outs.append(first)
-                labels.append(y0)
-                t0 = time.perf_counter()
-                if n_batches == 1:
-                    jax.block_until_ready(self._fwd(self.params, x0))
-                    timed_images = x0.shape[0]
-                else:
-                    for _ in range(n_batches - 1):
-                        x, y = loader.next()
-                        outs.append(
-                            self._fwd(self.params, jnp.asarray(x)))
-                        labels.append(y)
-                    jax.block_until_ready(outs)
-                    timed_images = sum(o.shape[0] for o in outs[1:])
-                dt = time.perf_counter() - t0
-        except AcceleratorError:
-            raise
-        except Exception as e:
-            raise AcceleratorError(
-                AccelErrorCode.BACKEND_UNAVAILABLE, str(e))
+
+        def wait(x):
+            # Only genuine device failures surface here; loader/host
+            # errors propagate with their own types.
+            try:
+                jax.block_until_ready(x)
+            except Exception as e:
+                raise AcceleratorError(
+                    AccelErrorCode.BACKEND_UNAVAILABLE, str(e))
+
+        with jax.default_device(self._device):
+            x0, y0 = loader.next()
+            x0 = jnp.asarray(x0)
+            first = self._fwd(self.params, x0)
+            wait(first)  # compile, unclocked
+            outs.append(first)
+            labels.append(y0)
+            t0 = time.perf_counter()
+            if n_batches == 1:
+                wait(self._fwd(self.params, x0))
+                timed_images = x0.shape[0]
+            else:
+                for _ in range(n_batches - 1):
+                    x, y = loader.next()
+                    outs.append(self._fwd(self.params, jnp.asarray(x)))
+                    labels.append(y)
+                wait(outs)
+                timed_images = sum(o.shape[0] for o in outs[1:])
+            dt = time.perf_counter() - t0
         logits = np.concatenate([np.asarray(o) for o in outs])
         return StreamResult(
             logits=logits,

@@ -144,7 +144,8 @@ def train_lm(
     seed: int = 0,
 ) -> Tuple[Dict[str, np.ndarray], List[float]]:
     """Adam on next-token cross-entropy over the cyclic language.
-    LN/embed/pos train; returns (params, loss history)."""
+    Projections, LN and the embedding train; the sinusoidal position
+    table stays fixed.  Returns (params, loss history)."""
     train_keys = [k for k in params if k != "meta" and k != "pos"]
     pj = {k: jnp.asarray(v) for k, v in params.items() if k != "meta"}
     opt = optax.adam(lr)
@@ -201,10 +202,13 @@ def prune_lm_blockwise(params: Dict[str, np.ndarray], sparsity: float,
             n_prune = int(norms.size * sparsity)
             if n_prune == 0:
                 continue
-            thr = np.partition(norms.reshape(-1),
-                               n_prune - 1)[n_prune - 1]
-            mask = np.repeat(np.repeat(norms > thr, block, 0),
-                             block, 1)
+            # Exact quota: argsort picks exactly n_prune lowest blocks
+            # (a threshold comparison would prune every tied block).
+            keep = np.ones(norms.size, bool)
+            keep[np.argsort(norms.reshape(-1),
+                            kind="stable")[:n_prune]] = False
+            mask = np.repeat(np.repeat(keep.reshape(norms.shape),
+                                       block, 0), block, 1)
             out[f"b{i}.{name}"] = (w * mask[:H, :W]).astype(np.float32)
     return out
 

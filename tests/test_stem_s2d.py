@@ -8,6 +8,7 @@ from resnet_accel_tpu.models import resnet18 as r18
 from resnet_accel_tpu.ops.conv import (
     conv2d_int8,
     space_to_depth_nchw,
+    space_to_depth_nhwc,
     stem_s2d_weights,
 )
 
@@ -55,3 +56,25 @@ class TestS2DModel:
         a = np.asarray(r18.make_forward(model, stem_s2d=True)(params, x))
         b = np.asarray(r18.make_forward(model, stem_s2d=False)(params, x))
         np.testing.assert_array_equal(a, b)
+
+    def test_nhwc_s2d_matches_nchw(self):
+        rng = np.random.default_rng(2)
+        fp32 = r18.init_resnet18_fp32(seed=0, num_classes=10,
+                                      small_input=False)
+        calib = rng.normal(0, 1, (2, 3, 224, 224)).astype(np.float32)
+        model = r18.quantize_resnet18(fp32, calib, 10, small_input=False)
+        params = model.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (1, 3, 224, 224)),
+                        jnp.float32)
+        a = np.asarray(r18.make_forward(model, layout="NHWC",
+                                        stem_s2d=True)(params, x))
+        b = np.asarray(r18.make_forward(model, stem_s2d=False)(params, x))
+        np.testing.assert_array_equal(a, b)
+
+    def test_space_to_depth_nhwc_matches_nchw(self):
+        x = np.arange(2 * 3 * 4 * 4, dtype=np.int8).reshape(2, 3, 4, 4)
+        via_nchw = np.asarray(space_to_depth_nchw(jnp.asarray(x)))
+        xh = jnp.asarray(x.transpose(0, 2, 3, 1))
+        via_nhwc = np.asarray(space_to_depth_nhwc(xh))
+        np.testing.assert_array_equal(
+            via_nhwc, via_nchw.transpose(0, 2, 3, 1))

@@ -43,6 +43,21 @@ class TestTrainLM:
         assert next_token_accuracy_fp32(p, toks) >= 0.8
 
 
+class TestPruneQuota:
+    def test_uniform_norms_prune_exact_quota(self):
+        # Every block norm equal: a threshold comparison would zero the
+        # whole matrix; argsort must prune exactly the quota.
+        p = init_lm_fp32(vocab=VOCAB, d_model=D, n_heads=HEADS,
+                         d_ff=128, n_layers=1, max_len=8, seed=1)
+        for name in ("wq", "wk", "wv", "wo", "w1", "w2"):
+            p[f"b0.{name}"] = np.ones_like(p[f"b0.{name}"])
+        out = prune_lm_blockwise(p, sparsity=0.25, block=8)
+        w = out["b0.wq"]
+        t = w.reshape(D // 8, 8, D // 8, 8)
+        zero_blocks = int((np.abs(t).sum(axis=(1, 3)) == 0).sum())
+        assert zero_blocks == int((D // 8) ** 2 * 0.25)
+
+
 class TestPruneQuantizeServe:
     def test_pruned_int8_preserves_accuracy(self, trained):
         p, _ = trained
