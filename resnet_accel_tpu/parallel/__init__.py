@@ -14,6 +14,7 @@ from resnet_accel_tpu.parallel.sharded import (
 from resnet_accel_tpu.parallel.pipeline import make_pipeline_forward
 from resnet_accel_tpu.parallel.sequence import make_sp_transformer_forward
 from resnet_accel_tpu.parallel.experts import make_ep_moe_forward
+from resnet_accel_tpu.parallel.heads import make_tp_transformer_forward
 
 __all__ = [
     "available_devices",
@@ -26,4 +27,5 @@ __all__ = [
     "make_pipeline_forward",
     "make_sp_transformer_forward",
     "make_ep_moe_forward",
+    "make_tp_transformer_forward",
 ]

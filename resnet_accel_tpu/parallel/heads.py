@@ -1,0 +1,186 @@
+"""Tensor (head) parallelism — the transformer block sharded over heads.
+
+Beyond-parity scaling: the INT8 sparse encoder block runs with attention
+heads sharded over the ``tp`` mesh axis (the Megatron split, adapted to
+BSR weights and INT8 semantics):
+
+- ``wq/wk/wv`` and ``w1`` are ROW-sharded: each rank holds the gather-BSR
+  block-rows of its heads (resp. its d_ff slice) — a pure slice of the
+  packed arrays, no repacking — and computes only its slice of Q/K/V,
+  attention (the O(T^2) part scales with 1/tp), and the MLP hidden.
+- ``wo`` and ``w2`` stay replicated: each rank zero-fills the positions
+  of the other ranks' heads (resp. hidden units), projects, and the
+  int32 accumulators ``psum`` over ``tp`` BEFORE dequantization, so the
+  float math after the reduction is identical to one device.  (A column
+  shard would also scale these two GEMMs; the zero-fill form was chosen
+  because it keeps bit-exactness trivial — int32 addition commutes.)
+- Dynamic INT8 quantization of sharded activations uses a GLOBAL absmax
+  (``lax.pmax`` over ``tp``) so every rank quantizes exactly like the
+  unsharded computation (the same discipline as parallel.sequence).
+
+Result: every integer decision (quantization, int32 accumulation) is
+exact vs the single-device block; the remaining difference is fp32
+reassociation in LN/softmax/attention across differently-compiled
+programs (the environment's FMA/excess-precision behavior), bounded at
+~1e-5 by the tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from resnet_accel_tpu.models.attention import SparseProjection
+from resnet_accel_tpu.models.transformer import (
+    LN_EPS,
+    TransformerBlockInt8,
+)
+from resnet_accel_tpu.ops.bsr_matmul import GatherBSR, bsr_matmul_wt_xla
+
+
+def _stack_row_shards(p: SparseProjection, tp: int):
+    """Split a projection's gather-BSR arrays into ``tp`` row shards
+    (stacked on a new leading axis) plus per-shard scales/bias."""
+    g = p.gather
+    nbr = g.blocks.shape[0]
+    if nbr % tp or p.d_out % tp:
+        raise ValueError(
+            f"d_out={p.d_out} (block rows {nbr}) not divisible by tp={tp}")
+    per = nbr // tp
+    blocks = np.asarray(g.blocks).reshape(tp, per, *g.blocks.shape[1:])
+    gidx = np.asarray(g.gather_idx).reshape(tp, per, g.lmax)
+    scales = np.asarray(p.scales).reshape(tp, -1)
+    bias = (np.asarray(p.bias).reshape(tp, -1)
+            if p.bias is not None else np.zeros_like(scales))
+    return (jnp.asarray(blocks), jnp.asarray(gidx), jnp.asarray(scales),
+            jnp.asarray(bias))
+
+
+def _local_gather(g: GatherBSR, blocks, gidx, tp: int) -> GatherBSR:
+    """A rank-local GatherBSR view over row-sharded arrays."""
+    return dataclasses.replace(
+        g, blocks=blocks, gather_idx=gidx,
+        n_out=g.n_out // tp, n_padded=g.n_padded // tp)
+
+
+def make_tp_transformer_forward(
+    mesh: Mesh,
+    block: TransformerBlockInt8,
+) -> Callable:
+    """Jit a head-parallel forward of the encoder block.
+
+    Returns fwd(x [T, d_model]) -> [T, d_model]; x and the output are
+    replicated, weights are sharded over the 'tp' axis.  Requires
+    n_heads, d_model block-rows and d_ff block-rows all divisible by
+    the 'tp' axis size.
+    """
+    if "tp" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'tp' axis")
+    tp = mesh.shape["tp"]
+    H = block.n_heads
+    D = block.d_model
+    if H % tp:
+        raise ValueError(f"n_heads={H} not divisible by tp={tp}")
+
+    qkv_shards = {name: _stack_row_shards(getattr(block, name), tp)
+                  for name in ("wq", "wk", "wv")}
+    w1_shards = _stack_row_shards(block.w1, tp)
+    d_ff = block.w1.d_out
+
+    def q_dyn_local(v):
+        """Replicated input -> every rank computes the same scale."""
+        scale = jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-12)
+        return jnp.clip(jnp.rint(v / scale), -128,
+                        127).astype(jnp.int8), scale
+
+    def q_dyn_global(v):
+        """Zero-filled sharded input -> global absmax over tp."""
+        scale = jnp.maximum(
+            jax.lax.pmax(jnp.max(jnp.abs(v)), "tp") / 127.0, 1e-12)
+        return jnp.clip(jnp.rint(v / scale), -128,
+                        127).astype(jnp.int8), scale
+
+    def ln(v, gamma, beta):
+        mu = v.mean(axis=-1, keepdims=True)
+        var = v.var(axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
+            * jnp.asarray(gamma) + jnp.asarray(beta)
+
+    def row_proj(proj_src, shards, q, s):
+        """Rank-local slice of a row-sharded projection: int32 acc ->
+        fp32 with the shard's scales/bias."""
+        blocks, gidx, scales, bias = shards
+        g = _local_gather(proj_src.gather, blocks, gidx, tp)
+        acc = bsr_matmul_wt_xla(q, g)
+        return acc.astype(jnp.float32) * (s * scales) + bias
+
+    def full_proj_psum(proj_src, q, s):
+        """Replicated-weight projection of a zero-filled shard: psum
+        the int32 accumulators, then dequantize once."""
+        acc = bsr_matmul_wt_xla(q, proj_src.gather)
+        acc = jax.lax.psum(acc, "tp")
+        out = acc.astype(jnp.float32) * (s * jnp.asarray(proj_src.scales))
+        if proj_src.bias is not None:
+            out = out + jnp.asarray(proj_src.bias)
+        return out
+
+    def tp_program(x, wq_s, wk_s, wv_s, w1_s):
+        # shard_map passes the rank-local slice WITH the leading shard
+        # axis of size 1 — drop it.
+        wq_s, wk_s, wv_s, w1_s = (
+            tuple(a[0] for a in s) for s in (wq_s, wk_s, wv_s, w1_s))
+        T = x.shape[0]
+        h_loc = H // tp
+        dh = D // H
+        rank = jax.lax.axis_index("tp")
+
+        h = ln(x, block.ln1_g, block.ln1_b)
+        q8, s = q_dyn_local(h)
+        qh = row_proj(block.wq, wq_s, q8, s).reshape(T, h_loc, dh)
+        kh = row_proj(block.wk, wk_s, q8, s).reshape(T, h_loc, dh)
+        vh = row_proj(block.wv, wv_s, q8, s).reshape(T, h_loc, dh)
+        qh, kh, vh = (a.transpose(1, 0, 2) for a in (qh, kh, vh))
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+            jnp.float32(dh))
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hts,hsd->htd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.transpose(1, 0, 2).reshape(T, h_loc * dh)
+        # Zero-fill the other ranks' head positions, project with the
+        # full wo, psum int32.
+        ctx_full = jnp.zeros((T, D), ctx.dtype)
+        ctx_full = jax.lax.dynamic_update_slice(
+            ctx_full, ctx, (0, rank * h_loc * dh))
+        q8, s = q_dyn_global(ctx_full)
+        x = x + full_proj_psum(block.wo, q8, s)
+
+        h = ln(x, block.ln2_g, block.ln2_b)
+        q8, s = q_dyn_local(h)
+        hid = jax.nn.gelu(row_proj(block.w1, w1_s, q8, s))
+        hid_full = jnp.zeros((T, d_ff), hid.dtype)
+        hid_full = jax.lax.dynamic_update_slice(
+            hid_full, hid, (0, rank * (d_ff // tp)))
+        q8, s = q_dyn_global(hid_full)
+        return x + full_proj_psum(block.w2, q8, s)
+
+    shard_specs = (P("tp"), P("tp"), P("tp"), P("tp"))
+    fwd = shard_map(
+        tp_program, mesh=mesh,
+        in_specs=(P(),) + shard_specs,
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def apply(x):
+        return fwd(x, qkv_shards["wq"], qkv_shards["wk"],
+                   qkv_shards["wv"], w1_shards)
+
+    return jax.jit(apply)
