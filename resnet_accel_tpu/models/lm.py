@@ -166,7 +166,8 @@ class TransformerLMInt8:
 
     def generate(self, prompt: jnp.ndarray, n_new: int, scales: Scales,
                  jit: bool = True, parallel_prefill: bool = True,
-                 flash: bool = False) -> jnp.ndarray:
+                 flash: bool = False, batched: bool = False
+                 ) -> jnp.ndarray:
         """Greedy decode as one jitted program (static shapes).
 
         Prefill fills the per-block KV caches from the prompt; by
@@ -176,9 +177,13 @@ class TransformerLMInt8:
         equal to the token-by-token path (``parallel_prefill=False``,
         a ``lax.scan`` of decode steps).  Decoding then scans
         ``n_new`` argmax steps through the caches.
+
+        ``batched=True``: ``prompt`` is [B, T] and decoding runs over
+        the batch via ``vmap`` (independent caches per sequence);
+        returns [B, n_new].
         """
 
-        n_prompt = int(np.asarray(prompt).shape[0])
+        n_prompt = int(np.asarray(prompt).shape[-1])
         if n_prompt + n_new > self.max_len:
             raise ValueError(
                 f"prompt ({n_prompt}) + n_new ({n_new}) exceeds "
@@ -222,6 +227,8 @@ class TransformerLMInt8:
                                         length=n_new)
             return toks
 
+        if batched:
+            run = jax.vmap(run)
         if not jit:
             return run(jnp.asarray(prompt, jnp.int32))
         # Cache the jitted program per configuration — a fresh
@@ -229,7 +236,7 @@ class TransformerLMInt8:
         # (measured ~15 s/generate on the tunneled chip).
         if not hasattr(self, "_gen_cache"):
             self._gen_cache = {}
-        key = (n_new, parallel_prefill, flash,
+        key = (n_new, parallel_prefill, flash, batched,
                tuple(tuple(sorted(d.items())) for d in scales))
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(run)

@@ -116,6 +116,21 @@ class TestGenerate:
         b = np.asarray(lm.generate(prompt, 4, scales, jit=False))
         np.testing.assert_array_equal(a, b)
 
+    def test_batched_generate_matches_per_sequence(self, lm, toks,
+                                                   scales):
+        prompts = np.stack([toks[:4], toks[2:6], toks[1:5]])
+        outs = np.asarray(lm.generate(jnp.asarray(prompts), 3, scales,
+                                      batched=True))
+        assert outs.shape == (3, 3)
+        for i in range(3):
+            ref = np.asarray(lm.generate(jnp.asarray(prompts[i]), 3,
+                                         scales))
+            np.testing.assert_array_equal(outs[i], ref)
+
+    def test_generate_rejects_overlong(self, lm, scales):
+        with pytest.raises(ValueError, match="exceeds"):
+            lm.generate(jnp.zeros(14, jnp.int32), 5, scales)
+
     def test_respects_max_len(self, lm, scales):
         # prompt + generated must fit the position table.
         prompt = jnp.zeros(2, jnp.int32)
