@@ -53,6 +53,13 @@ void rat_requantize_int32_to_int8(const int32_t* in, int8_t* out,
                                   int64_t size, float in_scale,
                                   float out_scale);
 
+/* Hardware-exact Q16.16 requantization (output_accumulator.sv:397-426):
+ * out = sat8((relu(acc) * (scale_q16 & 0xFFFF)) >> 16), 64-bit product,
+ * arithmetic (floor) shift.  The RTL uses only the fraction bits of the
+ * Q16.16 register. */
+void rat_requantize_q16(const int32_t* in, int8_t* out, int64_t size,
+                        uint32_t scale_q16, int relu);
+
 /* Per-channel variant: factors[c] = in_scale[c]/out_scale precomputed;
  * channel = (i / inner) % channels for row-major layouts. */
 void rat_requantize_per_channel(const int32_t* in, int8_t* out,

@@ -119,6 +119,26 @@ void rat_requantize_int32_to_int8(const int32_t* in, int8_t* out,
   }
 }
 
+void rat_requantize_q16(const int32_t* in, int8_t* out, int64_t size,
+                        uint32_t scale_q16, int relu) {
+  // Bit-exact model of output_accumulator.sv quantize_relu: the RTL
+  // multiplies by the zero-extended LOW 16 bits of the Q16.16 register
+  // only, with a 64-bit product and arithmetic right shift.
+  const int64_t frac = static_cast<int64_t>(scale_q16 & 0xFFFFu);
+  for (int64_t i = 0; i < size; ++i) {
+    int64_t v = in[i];
+    if (relu && v < 0) v = 0;
+    const int64_t scaled = (v * frac) >> 16;
+    if (scaled > 127) {
+      out[i] = 127;
+    } else if (scaled < -128) {
+      out[i] = -128;
+    } else {
+      out[i] = static_cast<int8_t>(scaled);
+    }
+  }
+}
+
 void rat_requantize_per_channel(const int32_t* in, int8_t* out,
                                 int64_t size, const float* factors,
                                 int64_t channels, int64_t inner) {

@@ -17,6 +17,9 @@ from resnet_accel_tpu.golden.ops import (
     relu_int32,
     relu6_int8,
     requantize_int32_to_int8,
+    requantize_q16,
+    scale_to_q16,
+    q16_to_scale,
     add_residual_int8,
     maxpool2d_int8,
     avgpool_global_int8,
@@ -36,6 +39,9 @@ __all__ = [
     "relu_int32",
     "relu6_int8",
     "requantize_int32_to_int8",
+    "requantize_q16",
+    "scale_to_q16",
+    "q16_to_scale",
     "add_residual_int8",
     "maxpool2d_int8",
     "avgpool_global_int8",

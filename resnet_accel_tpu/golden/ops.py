@@ -57,6 +57,49 @@ def requantize_int32_to_int8(
     return np.clip(rounded, -128, 127).astype(np.int8)
 
 
+def scale_to_q16(scale: float) -> int:
+    """Convert a float scale to the hardware's Q16.16 register encoding.
+
+    Exactly the reference driver's conversion (sw/host/accel.py:377):
+    ``int(scale * 65536) & 0xFFFFFFFF`` — C-style truncation toward zero.
+    """
+    return int(np.float32(scale) * 65536.0) & 0xFFFFFFFF
+
+
+def q16_to_scale(q16: int) -> float:
+    """Inverse of scale_to_q16 (the value the hardware effectively applies,
+    including its fraction-only truncation — see requantize_q16)."""
+    return float(q16 & 0xFFFF) / 65536.0
+
+
+def requantize_q16(
+    x: np.ndarray, scale_q16: int, relu: bool = False
+) -> np.ndarray:
+    """Hardware-exact Q16.16 fixed-point requantization.
+
+    Bit-exact model of the reference accelerator's output pipeline
+    (hw/rtl/buffer/output_accumulator.sv:397-426 ``quantize_relu``):
+
+        1. optional ReLU on the int32 accumulator,
+        2. ``scaled = (acc * scale_q16[15:0]) >>> 16``  — the RTL multiplies
+           by the zero-extended LOW 16 bits only (the Q16.16 *fraction*;
+           integer-part bits of the register are ignored by the datapath),
+           with a 64-bit product and arithmetic (floor) shift,
+        3. saturate to [-128, 127].
+
+    This is the on-silicon semantics behind CSR SCALE_Sa/Sw; the float32
+    ``requantize_int32_to_int8`` is the reference's *software golden*
+    semantics.  Both are provided: float for production accuracy, Q16 for
+    hardware-replay verification.
+    """
+    x = np.asarray(x, dtype=np.int32).astype(np.int64)
+    if relu:
+        x = np.maximum(x, 0)
+    frac = np.int64(int(scale_q16) & 0xFFFF)
+    scaled = (x * frac) >> np.int64(16)  # arithmetic shift = floor
+    return np.clip(scaled, -128, 127).astype(np.int8)
+
+
 def requantize_per_channel(
     x: np.ndarray, in_scales: np.ndarray, out_scale: float, axis: int = -1
 ) -> np.ndarray:

@@ -46,6 +46,8 @@ def _load() -> Optional[ctypes.CDLL]:
         "rat_relu_int8": (None, [i8p, i64]),
         "rat_requantize_int32_to_int8": (
             None, [i32p, i8p, i64, c.c_float, c.c_float]),
+        "rat_requantize_q16": (
+            None, [i32p, i8p, i64, c.c_uint32, c.c_int]),
         "rat_requantize_per_channel": (
             None, [i32p, i8p, i64, f32p, i64, i64]),
         "rat_add_residual_int8": (
@@ -137,6 +139,16 @@ def requantize_int32_to_int8(x, in_scale, out_scale):
     lib.rat_requantize_int32_to_int8(
         _p(x, ctypes.c_int32), _p(out, ctypes.c_int8), x.size,
         in_scale, out_scale)
+    return out
+
+
+def requantize_q16(x, scale_q16, relu=False):
+    lib = _load()
+    x = np.ascontiguousarray(x, np.int32)
+    out = np.empty(x.shape, np.int8)
+    lib.rat_requantize_q16(
+        _p(x, ctypes.c_int32), _p(out, ctypes.c_int8), x.size,
+        int(scale_q16) & 0xFFFFFFFF, int(bool(relu)))
     return out
 
 

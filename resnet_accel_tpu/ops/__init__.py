@@ -6,6 +6,7 @@ from resnet_accel_tpu.ops.flash_attention import flash_attention
 from resnet_accel_tpu.ops.pooling import maxpool2d_int8, avgpool_global_int8
 from resnet_accel_tpu.ops.epilogue import (
     requantize,
+    requantize_q16,
     requant_factors,
     add_residual,
     relu_int8,
@@ -23,6 +24,7 @@ __all__ = [
     "maxpool2d_int8",
     "avgpool_global_int8",
     "requantize",
+    "requantize_q16",
     "requant_factors",
     "add_residual",
     "relu_int8",

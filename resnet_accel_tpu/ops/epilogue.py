@@ -63,6 +63,31 @@ def requant_factors(
     return (in_scales / np.float32(out_scale)).astype(np.float32)
 
 
+def requantize_q16(
+    acc: jnp.ndarray, scale_q16: int, relu: bool = False
+) -> jnp.ndarray:
+    """Hardware-exact Q16.16 requantization (replay of the FPGA datapath).
+
+    Bit-exact with golden.requantize_q16 / output_accumulator.sv:397-426:
+    ``sat8((relu(acc) * (scale_q16 & 0xFFFF)) >> 16)`` with a wide product
+    and floor shift.  TPUs have no int64, so the 48-bit product is computed
+    exactly in int32/uint32 pieces: split acc = q·2¹⁶ + r (q = acc >> 16
+    arithmetic, r ∈ [0, 65535]); then
+    ``floor(acc·s / 2¹⁶) = q·s + (r·s) >> 16`` — q·s fits int32
+    (|q| ≤ 2¹⁵, s < 2¹⁶) and r·s fits uint32.  ``scale_q16`` is a static
+    per-layer register value (CSR SCALE semantics), not a traced array.
+    """
+    acc = acc.astype(jnp.int32)
+    if relu:
+        acc = jnp.maximum(acc, 0)
+    s = int(scale_q16) & 0xFFFF
+    q = jnp.right_shift(acc, 16)  # arithmetic shift: floor(acc / 2^16)
+    r = (acc - (q << 16)).astype(jnp.uint32)  # remainder in [0, 65535]
+    low = jnp.right_shift(r * jnp.uint32(s), 16).astype(jnp.int32)
+    scaled = q * jnp.int32(s) + low
+    return jnp.clip(scaled, -128, 127).astype(jnp.int8)
+
+
 def add_residual(
     main: jnp.ndarray,
     residual: jnp.ndarray,

@@ -14,7 +14,12 @@ from resnet_accel_tpu.golden import (
     conv2d_int8_im2col,
     im2col_int8,
 )
-from resnet_accel_tpu.golden.ops import requantize_per_channel
+from resnet_accel_tpu.golden.ops import (
+    q16_to_scale,
+    requantize_per_channel,
+    requantize_q16,
+    scale_to_q16,
+)
 
 
 class TestRelu:
@@ -30,6 +35,65 @@ class TestRelu:
         # scale = 0.05 -> max_val = int(6.0/0.05) = 120
         x = np.array([-5, 0, 100, 121, 127], dtype=np.int8)
         np.testing.assert_array_equal(relu6_int8(x, 0.05), [0, 0, 100, 120, 120])
+
+
+class TestRequantizeQ16:
+    """Hardware-exact Q16.16 path (output_accumulator.sv:397-426)."""
+
+    def test_scale_conversion_matches_driver(self):
+        # accel.py:377: int(S * 65536) & 0xFFFFFFFF (truncation).
+        assert scale_to_q16(0.5) == 0x8000
+        assert scale_to_q16(1.0) == 0x10000
+        assert scale_to_q16(1.5) == 0x18000
+        assert scale_to_q16(0.0000076) == 0  # underflow truncates to 0
+
+    def test_known_vectors(self):
+        # scale 0.5 (0x8000): floor(acc/2)
+        x = np.array([0, 1, 2, 3, -1, -2, -3, 255], dtype=np.int32)
+        out = requantize_q16(x, 0x8000)
+        np.testing.assert_array_equal(out, [0, 0, 1, 1, -1, -1, -2, 127])
+
+    def test_floor_not_round(self):
+        # Arithmetic shift floors toward -inf — distinct from the float
+        # golden's round-half-even.
+        x = np.array([-1, -65536, -65537], dtype=np.int32)
+        out = requantize_q16(x, 0x0001)  # scale = 1/65536
+        np.testing.assert_array_equal(out, [-1, -1, -2])
+
+    def test_fraction_bits_only(self):
+        # The RTL multiplies by scale[15:0] only: a Q16.16 value of 1.5
+        # (0x18000) applies 0.5, and exactly 1.0 (0x10000) applies 0.
+        x = np.array([100, -100], dtype=np.int32)
+        np.testing.assert_array_equal(
+            requantize_q16(x, 0x18000), requantize_q16(x, 0x8000))
+        np.testing.assert_array_equal(requantize_q16(x, 0x10000), [0, 0])
+        assert q16_to_scale(0x18000) == 0.5
+
+    def test_relu_before_scale(self):
+        x = np.array([-1000, 1000], dtype=np.int32)
+        out = requantize_q16(x, 0xFFFF, relu=True)
+        assert out[0] == 0
+        assert out[1] == 127  # 1000 * 0.99998... -> 999 -> saturate
+
+    def test_saturation_and_extremes(self):
+        x = np.array([2**31 - 1, -(2**31)], dtype=np.int32)
+        np.testing.assert_array_equal(
+            requantize_q16(x, 0xFFFF), [127, -128])
+        # scale 0 zeroes everything, even extremes.
+        np.testing.assert_array_equal(requantize_q16(x, 0), [0, 0])
+
+    def test_matches_bigint_oracle(self):
+        rng = np.random.default_rng(7)
+        x = rng.integers(-(2**31), 2**31, 2048).astype(np.int64)
+        x = np.concatenate(
+            [x, [2**31 - 1, -(2**31), 0, -1, 1, 65535, -65536]]
+        ).astype(np.int32)
+        for s in [0x0001, 0x1234, 0x8000, 0xFFFF, 0x2ABCD]:
+            got = requantize_q16(x, s)
+            exp = np.array(
+                [max(-128, min(127, (int(v) * (s & 0xFFFF)) >> 16))
+                 for v in x], dtype=np.int8)
+            np.testing.assert_array_equal(got, exp)
 
 
 class TestRequantize:

@@ -54,6 +54,17 @@ class TestNativeGoldenParity:
         exp = golden.requantize_int32_to_int8(x, 0.013, 0.07)
         np.testing.assert_array_equal(got, exp)
 
+    def test_requantize_q16(self):
+        rng = np.random.default_rng(21)
+        x = rng.integers(-(2**31), 2**31, 4096).astype(np.int64)
+        x = np.concatenate(
+            [x, [2**31 - 1, -(2**31), 0, -1, -65537]]).astype(np.int32)
+        for s in [0x0001, 0x8000, 0xFFFF, 0x18000]:
+            for relu in (False, True):
+                got = native.requantize_q16(x, s, relu=relu)
+                exp = golden.requantize_q16(x, s, relu=relu)
+                np.testing.assert_array_equal(got, exp)
+
     def test_residual(self):
         rng = np.random.default_rng(3)
         m = rng.integers(-128, 128, 512).astype(np.int8)

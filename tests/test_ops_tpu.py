@@ -19,6 +19,7 @@ from resnet_accel_tpu.ops import (
     maxpool2d_int8,
     avgpool_global_int8,
     requantize,
+    requantize_q16,
     requant_factors,
     add_residual,
     quantize_input,
@@ -94,6 +95,21 @@ class TestEpilogue:
         acc = jnp.asarray([1, 3, 5, -5], jnp.int32)
         out = requantize(acc, np.float32(0.5))
         np.testing.assert_array_equal(np.asarray(out), [0, 2, 2, -2])
+
+    @pytest.mark.parametrize("scale_q16", [0x0001, 0x1234, 0x8000, 0xFFFF])
+    @pytest.mark.parametrize("relu", [False, True])
+    def test_requantize_q16_bit_exact(self, scale_q16, relu):
+        # Hardware-replay path: the int32-decomposed device op must match
+        # the 64-bit golden on the full int32 range, including extremes.
+        rng = np.random.default_rng(6)
+        acc = rng.integers(-(2**31), 2**31, 4096).astype(np.int64)
+        acc = np.concatenate(
+            [acc, [2**31 - 1, -(2**31), 0, -1, 1, 65535, -65536, -65537]]
+        ).astype(np.int32)
+        fn = jax.jit(lambda a: requantize_q16(a, scale_q16, relu=relu))
+        out = fn(jnp.asarray(acc))
+        exp = golden.requantize_q16(acc, scale_q16, relu=relu)
+        np.testing.assert_array_equal(np.asarray(out), exp)
 
     def test_residual_bit_exact(self):
         rng = np.random.default_rng(4)
