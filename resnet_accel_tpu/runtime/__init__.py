@@ -20,6 +20,9 @@ from resnet_accel_tpu.runtime.perf import (
     PerfMetrics,
     PerfTimer,
     LayerProfiler,
+    Platform,
+    PLATFORMS,
+    get_platform,
     trace_profile,
 )
 
@@ -38,6 +41,9 @@ __all__ = [
     "top_k",
     "PerfMetrics",
     "PerfTimer",
+    "Platform",
+    "PLATFORMS",
+    "get_platform",
     "LayerProfiler",
     "trace_profile",
 ]

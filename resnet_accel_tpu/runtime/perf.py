@@ -14,15 +14,56 @@ TPU v5e single-chip roofline constants (public figures):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 import jax
 
-#: Public peak numbers for TPU v5e (1 chip).
-PEAK_INT8_OPS = 394e12
-PEAK_BF16_FLOPS = 197e12
-HBM_BYTES_PER_S = 819e9
+
+@dataclasses.dataclass(frozen=True)
+class Platform:
+    """Single-chip roofline constants for one TPU generation.
+
+    The platform scaling table of the reference
+    (performance_config.hpp:53-172: PYNQ-Z2 → ZCU104 → ZCU102 → Alveo U50),
+    re-cast over TPU generations.  All values are public per-chip figures.
+    """
+
+    name: str
+    peak_int8_ops: float     # ops/s (int8 MXU peak; = bf16 where no 2x)
+    peak_bf16_flops: float   # flops/s
+    hbm_bytes_per_s: float
+    hbm_bytes: float
+
+    @property
+    def ridge_ops_per_byte(self) -> float:
+        return self.peak_int8_ops / self.hbm_bytes_per_s
+
+
+#: TPU platform scaling table (per chip, public figures).
+PLATFORMS: Dict[str, Platform] = {
+    "v4": Platform("v4", 275e12, 275e12, 1228e9, 32 * 2**30),
+    "v5e": Platform("v5e", 394e12, 197e12, 819e9, 16 * 2**30),
+    "v5p": Platform("v5p", 918e12, 459e12, 2765e9, 95 * 2**30),
+    "v6e": Platform("v6e", 1836e12, 918e12, 1640e9, 32 * 2**30),
+}
+
+
+def get_platform(name: Optional[str] = None) -> Platform:
+    """Select roofline constants; env RESNET_ACCEL_TPU_PLATFORM overrides,
+    default v5e (the chip this framework is benchmarked on)."""
+    key = (name or os.environ.get("RESNET_ACCEL_TPU_PLATFORM", "v5e")).lower()
+    if key not in PLATFORMS:
+        raise ValueError(
+            f"unknown platform {key!r}; known: {sorted(PLATFORMS)}")
+    return PLATFORMS[key]
+
+
+#: Back-compat module constants (the v5e row).
+PEAK_INT8_OPS = PLATFORMS["v5e"].peak_int8_ops
+PEAK_BF16_FLOPS = PLATFORMS["v5e"].peak_bf16_flops
+HBM_BYTES_PER_S = PLATFORMS["v5e"].hbm_bytes_per_s
 
 
 @dataclasses.dataclass
@@ -34,6 +75,8 @@ class PerfMetrics:
     total_ops: int
     bytes_accessed: int
     iters: int = 1
+    platform: Platform = dataclasses.field(
+        default_factory=get_platform)
 
     @property
     def gops(self) -> float:
@@ -42,7 +85,7 @@ class PerfMetrics:
     @property
     def utilization(self) -> float:
         """Fraction of the chip's INT8 peak achieved (MXU utilization)."""
-        return self.total_ops / self.latency_s / PEAK_INT8_OPS \
+        return self.total_ops / self.latency_s / self.platform.peak_int8_ops \
             if self.latency_s else 0.0
 
     @property
@@ -58,8 +101,8 @@ class PerfMetrics:
 
     @property
     def roofline_bound(self) -> str:
-        """'compute' or 'memory' per the v5e roofline ridge point."""
-        ridge = PEAK_INT8_OPS / HBM_BYTES_PER_S
+        """'compute' or 'memory' per the platform's roofline ridge point."""
+        ridge = self.platform.ridge_ops_per_byte
         return "compute" if self.operational_intensity >= ridge else "memory"
 
     def report(self) -> str:

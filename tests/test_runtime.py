@@ -111,6 +111,30 @@ class TestPerf:
                         bytes_accessed=10**8)
         assert m.roofline_bound == "memory"
 
+    def test_platform_table(self):
+        # The platform scaling table (performance_config.hpp:53-172 role):
+        # the same measurement grades differently against each roofline.
+        from resnet_accel_tpu.runtime import PLATFORMS, get_platform
+        import pytest as _pytest
+        assert get_platform().name == "v5e"
+        assert get_platform("v6e").peak_int8_ops \
+            > get_platform("v5e").peak_int8_ops
+        assert set(PLATFORMS) == {"v4", "v5e", "v5p", "v6e"}
+        m_v5e = PerfMetrics("x", latency_s=1e-3, total_ops=10**11,
+                            bytes_accessed=10**6,
+                            platform=get_platform("v5e"))
+        m_v6e = PerfMetrics("x", latency_s=1e-3, total_ops=10**11,
+                            bytes_accessed=10**6,
+                            platform=get_platform("v6e"))
+        assert m_v5e.utilization > m_v6e.utilization
+        with _pytest.raises(ValueError):
+            get_platform("v99")
+
+    def test_platform_env_override(self, monkeypatch):
+        from resnet_accel_tpu.runtime import get_platform
+        monkeypatch.setenv("RESNET_ACCEL_TPU_PLATFORM", "v5p")
+        assert get_platform().name == "v5p"
+
     def test_perf_timer(self):
         import jax.numpy as jnp
         timer = PerfTimer(warmup=1, iters=2)
