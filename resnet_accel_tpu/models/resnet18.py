@@ -584,45 +584,52 @@ def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
     """Channel-minor pipeline: one transpose at entry, none after."""
 
     def run_conv(params, prefix, qc: QConv, x):
-        return conv2d_int8_nhwc(
-            x, params[f"{prefix}.whwio"], bias=params[f"{prefix}.b"],
-            stride=qc.stride, padding=qc.padding,
-            factors=params[f"{prefix}.f"], relu=qc.relu)
+        with jax.named_scope(prefix):
+            return conv2d_int8_nhwc(
+                x, params[f"{prefix}.whwio"], bias=params[f"{prefix}.b"],
+                stride=qc.stride, padding=qc.padding,
+                factors=params[f"{prefix}.f"], relu=qc.relu)
 
     use_s2d = (stem_s2d and model.stem.kernel == 7
                and model.stem.stride == 2 and model.stem.padding == 3)
 
     def run_stem_s2d(params, qc: QConv, x):
-        C, O = qc.in_channels, qc.w2d.shape[0]
-        w = stem_s2d_weights(params["stem.w"], C, 7)
-        whwio = w.reshape(O, C * 4, 4, 4).transpose(2, 3, 1, 0)
-        return conv2d_int8_nhwc(
-            space_to_depth_nhwc(x), whwio, bias=params["stem.b"],
-            stride=1,
-            padding=((2, 1), (2, 1)), factors=params["stem.f"],
-            relu=qc.relu)
+        with jax.named_scope("stem"):
+            C, O = qc.in_channels, qc.w2d.shape[0]
+            w = stem_s2d_weights(params["stem.w"], C, 7)
+            whwio = w.reshape(O, C * 4, 4, 4).transpose(2, 3, 1, 0)
+            return conv2d_int8_nhwc(
+                space_to_depth_nhwc(x), whwio, bias=params["stem.b"],
+                stride=1,
+                padding=((2, 1), (2, 1)), factors=params["stem.f"],
+                relu=qc.relu)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        a = x if x.dtype == jnp.int8 \
-            else quantize_input(x, model.s_input)
-        a = jnp.transpose(a, (0, 2, 3, 1))
+        with jax.named_scope("quantize"):
+            a = x if x.dtype == jnp.int8 \
+                else quantize_input(x, model.s_input)
+            a = jnp.transpose(a, (0, 2, 3, 1))
         if use_s2d and a.shape[1] % 2 == 0 and a.shape[2] % 2 == 0:
             a = run_stem_s2d(params, model.stem, a)
         else:
             a = run_conv(params, "stem", model.stem, a)
         if not model.small_input:
-            a = maxpool2d_int8_nhwc(a, 3, 2, padding=1)
+            with jax.named_scope("stem.pool"):
+                a = maxpool2d_int8_nhwc(a, 3, 2, padding=1)
         for i, blk in enumerate(model.blocks):
             y = run_conv(params, f"b{i}.c1", blk.conv1, a)
             y = run_conv(params, f"b{i}.c2", blk.conv2, y)
             r = run_conv(params, f"b{i}.ds", blk.downsample, a) \
                 if blk.downsample is not None else a
-            a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
-                             relu=True)
-        a = avgpool_global_int8_nhwc(a)
-        acc = matmul_int8(a, params["fc.w"], bias=params["fc.b"],
-                          use_pallas=use_pallas, backend=backend)
-        return acc.astype(jnp.float32) * params["fc.deq"][None, :]
+            with jax.named_scope(f"b{i}.add"):
+                a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
+                                 relu=True)
+        with jax.named_scope("avgpool"):
+            a = avgpool_global_int8_nhwc(a)
+        with jax.named_scope("fc"):
+            acc = matmul_int8(a, params["fc.w"], bias=params["fc.b"],
+                              use_pallas=use_pallas, backend=backend)
+            return acc.astype(jnp.float32) * params["fc.deq"][None, :]
 
     return forward
 

@@ -43,6 +43,16 @@ class TestEngine:
         assert probs == sorted(probs, reverse=True)
         assert res.images_per_s > 0
 
+    def test_bake_weights_identical(self, engine):
+        # Weight-stationary compilation (weights as program constants)
+        # must be a pure performance choice: logits identical.
+        baked = InferenceEngine(engine.model, make_forward, backend="cpu",
+                                bake_weights=True)
+        rng = np.random.default_rng(7)
+        x = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        np.testing.assert_array_equal(
+            baked.run_inference(x).logits, engine.run_inference(x).logits)
+
     def test_invalid_input_shape(self, engine):
         with pytest.raises(AcceleratorError) as ei:
             engine.run_inference(np.zeros((3, 32, 32), np.float32))
