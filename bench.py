@@ -30,13 +30,21 @@ import numpy as np
 
 REFERENCE_IMAGES_PER_S = 137.0
 BATCH = 256
-CHAIN = 8
-ITERS = 4
+CHAIN = 16
+ITERS = 9
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: the chained loop takes ~3 min to compile
+    # cold; cached reruns start timing in seconds and measure the same
+    # executable, which removes compile-interference from the numbers.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from resnet_accel_tpu.models.resnet18 import (
         init_resnet18_fp32, quantize_resnet18, make_forward)
 
@@ -67,21 +75,31 @@ def main():
             return xn[0, 0, 0, 0]
 
         _ = np.asarray(loop(x))  # compile + warm
-        best = float("inf")
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            _ = np.asarray(loop(x))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return loop
 
-    t1, tc = make_loop(1), make_loop(CHAIN)
-    per_batch = (tc - t1) / (CHAIN - 1)
-    if per_batch <= 0:
-        # Tunnel jitter swamped the subtraction; fail so the retry
+    # Interleaved pairs: time the 1-chain and the full chain back to
+    # back and subtract per pair; report the MEDIAN pair.  Measured on
+    # the v5e tunnel, per-batch device time is stable to ~2% but single
+    # dispatches occasionally catch multi-ms jitter, so a min (or a
+    # single pair) can under/over-shoot by 40% — the median is immune
+    # to those artifact pairs in both directions.
+    l1, lc = make_loop(1), make_loop(CHAIN)
+    pairs = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        _ = np.asarray(l1(x))
+        t1 = time.perf_counter()
+        _ = np.asarray(lc(x))
+        t2 = time.perf_counter()
+        pair = ((t2 - t1) - (t1 - t0)) / (CHAIN - 1)
+        if pair > 0:
+            pairs.append(pair)
+    if not pairs:
+        # Tunnel jitter swamped every subtraction; fail so the retry
         # wrapper re-measures instead of printing an absurd number.
         raise RuntimeError(
-            f"non-positive chained measurement: T({CHAIN})={tc:.4f}s "
-            f"<= T(1)={t1:.4f}s")
+            f"non-positive chained measurement in all {ITERS} pairs")
+    per_batch = float(np.median(pairs))
     images_per_s = BATCH / per_batch
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",
