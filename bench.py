@@ -29,8 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_IMAGES_PER_S = 137.0
-BATCH = 256
-CHAIN = 16
+BATCH = 128  # measured sweet spot: +8% vs 256, B=64 collapses (see docs)
+CHAIN = 32
 ITERS = 9
 
 
