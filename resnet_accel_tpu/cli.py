@@ -71,12 +71,15 @@ def cmd_bench(args):
     from resnet_accel_tpu.sparse import build_bsr_int8_direct
     from resnet_accel_tpu.runtime.perf import measure_chained
 
+    if args.artifact:
+        return _bench_artifact(args)
+
     rng = np.random.default_rng(0)
     sizes = [int(s) for s in args.sizes.split(",")]
     sparsities = [float(s) for s in args.sparsities.split(",")]
     rows = []
     for n in sizes:
-        M = args.batch
+        M = args.batch if args.batch > 0 else 512
         base_dt = None
         for sp in sparsities:
             W = rng.integers(-128, 128, (n, n)).astype(np.int8)
@@ -108,6 +111,86 @@ def cmd_bench(args):
         with open(args.output, "w") as f:
             json.dump(rows, f, indent=2)
     return 0
+
+
+def _bench_artifact(args):
+    """Benchmark one exported BSR layer artifact (e.g. the reference's
+    FC1: 9,092 cycles @100 MHz = 90.9 us, 28.41 GOPS on its 14x14
+    array).  Loads the layer dir, regroups to MXU-sized blocks, checks
+    bit-exactness vs the golden on the reference's activation pattern,
+    then reports chained-median matvec latency and GOPS with the same
+    op accounting as the reference (2 * nnz_blocks * bh * bw * M)."""
+    import jax.numpy as jnp
+    from resnet_accel_tpu.golden.gemm import bsr_matmul_int8_wt
+    from resnet_accel_tpu.ops.bsr_matmul import (
+        pack_kernel_bsr, bsr_matmul_wt)
+    from resnet_accel_tpu.sparse import load_layer_dir
+    from resnet_accel_tpu.sparse.regroup import regroup_bsr
+
+    bsr = load_layer_dir(args.artifact)
+    kb = pack_kernel_bsr(regroup_bsr(bsr, 128, 128), chunk=16)
+    K, n = bsr.shape[1], bsr.shape[0]
+    M = args.batch if args.batch > 0 else 1
+    act = ((np.arange(K)[None, :] + np.arange(M)[:, None]) % 256 - 128
+           ).astype(np.int8)
+
+    actp = np.pad(act, ((0, 0), (0, bsr.padded_shape[1] - K)))
+    ref = bsr_matmul_int8_wt(actp, bsr.data, bsr.row_ptr, bsr.col_idx,
+                             bsr.block_h, bsr.block_w)[:, :n]
+    out = np.asarray(bsr_matmul_wt(jnp.asarray(act), kb,
+                               backend=args.backend))[:, :n]
+    exact = bool(np.array_equal(out, ref))
+
+    # Rolled fori chain (256 dependent matvecs per timed call) with
+    # median-of-pairs subtraction: for ~5 us kernels the unrolled
+    # measure_chained subtraction is noise-dominated (it once reported
+    # a sub-roofline 0.5 us), while a long rolled chain amortizes
+    # per-dispatch jitter to <1%.
+    import time as _time
+
+    import jax
+
+    def _make_loop(k):
+        @jax.jit
+        def loop(a0):
+            def body(i, a):
+                out = bsr_matmul_wt(a, kb, backend=args.backend)
+                return a.at[:, :out.shape[1]].add(
+                    jnp.bitwise_and(out, 1).astype(a.dtype))
+            return jax.lax.fori_loop(0, k, body, a0)[0, 0]
+        return loop
+
+    chain = args.chain
+    l1, lc = _make_loop(1), _make_loop(chain)
+    a0 = jnp.asarray(act)
+    np.asarray(l1(a0)), np.asarray(lc(a0))  # compile
+    pairs = []
+    for _ in range(max(args.iters, 3)):
+        t0 = _time.perf_counter()
+        np.asarray(l1(a0))
+        t1 = _time.perf_counter()
+        np.asarray(lc(a0))
+        t2 = _time.perf_counter()
+        p = ((t2 - t1) - (t1 - t0)) / (chain - 1)
+        if p > 0:
+            pairs.append(p)
+    if not pairs:
+        raise RuntimeError("jitter swamped every chained pair; re-run")
+    dt = float(np.median(pairs))
+    ops = 2 * bsr.nnz_blocks * bsr.block_h * bsr.block_w * M
+    row = {
+        "artifact": args.artifact, "M": M, "K": K, "N": n,
+        "nnz_blocks": bsr.nnz_blocks,
+        "block": f"{bsr.block_h}x{bsr.block_w}",
+        "bit_exact": exact,
+        "latency_us": round(dt * 1e6, 2),
+        "gops": round(ops / dt / 1e9, 1),
+    }
+    print(json.dumps(row))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(row, f, indent=2)
+    return 0 if exact else 1
 
 
 def cmd_quantize(args):
@@ -344,9 +427,23 @@ def build_parser():
     pb = sub.add_parser("bench", help="benchmark dense + sparse GEMM")
     pb.add_argument("--sizes", default="2048,4096")
     pb.add_argument("--sparsities", default="0.0,0.5,0.7,0.9")
-    pb.add_argument("--batch", type=int, default=512)
+    pb.add_argument(
+        "--batch", type=int, default=0,
+        help="rows M (0 = auto: 512 for the sweep, 1 for --artifact "
+             "to match the reference's batch-1 FC1 measurement)")
     pb.add_argument("--iters", type=int, default=5)
     pb.add_argument("--output", default=None)
+    pb.add_argument(
+        "--chain", type=int, default=256,
+        help="chained calls per timed dispatch in --artifact mode")
+    pb.add_argument(
+        "--backend", default=None,
+        help="backend override for --artifact mode (tpu/cpu/golden)")
+    pb.add_argument(
+        "--artifact", default=None, metavar="DIR",
+        help="benchmark one exported BSR layer dir instead of the sweep "
+             "(e.g. the reference's data/bsr_export_14x14/fc1; "
+             "reference FC1 baseline: 90.9 us, 28.41 GOPS)")
     pb.set_defaults(fn=cmd_bench)
 
     pq = sub.add_parser("quantize", help="FP32 checkpoint -> INT8")

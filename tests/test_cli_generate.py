@@ -44,3 +44,29 @@ class TestCLIGenerate:
                 main()
         finally:
             sys.argv = old
+
+
+class TestBenchArtifact:
+    def test_bench_artifact_synthetic(self, tmp_path, capsys):
+        import json as _json
+
+        import numpy as np
+
+        from resnet_accel_tpu.cli import main
+        from resnet_accel_tpu.sparse import build_bsr_int8_direct
+        from resnet_accel_tpu.sparse.io import save_layer_dir
+
+        rng = np.random.default_rng(0)
+        W = rng.integers(-128, 128, (128, 256)).astype(np.int8)
+        W[:, 128:] = 0  # one zero 128-block column
+        bsr = build_bsr_int8_direct(W, 128)
+        d = tmp_path / "layer"
+        save_layer_dir(bsr, str(d), "test_fc")
+        rc = main(["bench", "--artifact", str(d), "--chain", "3",
+                   "--iters", "3", "--backend", "cpu",
+                   "--output", str(tmp_path / "out.json")])
+        assert rc == 0
+        row = _json.load(open(tmp_path / "out.json"))
+        assert row["bit_exact"] is True
+        assert row["nnz_blocks"] == 1
+        assert row["latency_us"] > 0
