@@ -22,7 +22,6 @@ projection (compute throughput, not host round-trips; its 137 img/s is
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,14 +52,13 @@ def main():
     calib = rng.normal(0, 1, (2, 3, 224, 224)).astype(np.float32)
     model = quantize_resnet18(fp32, calib, 1000, small_input=False)
     params = model.as_device_params()
+    # Weight-stationary: weights baked as program constants (closed over
+    # in the loop trace) so XLA folds each conv's weight relayout at
+    # compile time (+13% measured).
     base = make_forward(model, use_pallas=True)
-    # Weight-stationary: weights baked as program constants so XLA folds
-    # each conv's weight relayout at compile time (+13% measured).
-    fwd = jax.jit(lambda xx: base(params, xx))
 
     x = jnp.asarray(
         rng.normal(0, 1, (BATCH, 3, 224, 224)).astype(np.float32))
-    _ = np.asarray(fwd(x))  # compile + materialize
 
     def make_loop(n):
         @jax.jit
@@ -81,25 +79,12 @@ def main():
     # back and subtract per pair; report the MEDIAN pair.  Measured on
     # the v5e tunnel, per-batch device time is stable to ~2% but single
     # dispatches occasionally catch multi-ms jitter, so a min (or a
-    # single pair) can under/over-shoot by 40% — the median is immune
-    # to those artifact pairs in both directions.
+    # single pair) can under/over-shoot by 40% — the median over ALL
+    # pairs (negative artifacts included) is immune in both directions.
+    # A non-positive median raises so the retry wrapper re-measures.
+    from resnet_accel_tpu.runtime.perf import median_pair_time
     l1, lc = make_loop(1), make_loop(CHAIN)
-    pairs = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        _ = np.asarray(l1(x))
-        t1 = time.perf_counter()
-        _ = np.asarray(lc(x))
-        t2 = time.perf_counter()
-        pair = ((t2 - t1) - (t1 - t0)) / (CHAIN - 1)
-        if pair > 0:
-            pairs.append(pair)
-    if not pairs:
-        # Tunnel jitter swamped every subtraction; fail so the retry
-        # wrapper re-measures instead of printing an absurd number.
-        raise RuntimeError(
-            f"non-positive chained measurement in all {ITERS} pairs")
-    per_batch = float(np.median(pairs))
+    per_batch = median_pair_time(l1, lc, x, CHAIN, ITERS)
     images_per_s = BATCH / per_batch
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",

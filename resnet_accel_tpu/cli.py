@@ -146,37 +146,28 @@ def _bench_artifact(args):
     # measure_chained subtraction is noise-dominated (it once reported
     # a sub-roofline 0.5 us), while a long rolled chain amortizes
     # per-dispatch jitter to <1%.
-    import time as _time
-
     import jax
+    from resnet_accel_tpu.runtime.perf import median_pair_time
+
+    fold = min(K, n)  # feedback width: output may be wider than input
 
     def _make_loop(k):
         @jax.jit
         def loop(a0):
             def body(i, a):
                 out = bsr_matmul_wt(a, kb, backend=args.backend)
-                return a.at[:, :out.shape[1]].add(
-                    jnp.bitwise_and(out, 1).astype(a.dtype))
+                return a.at[:, :fold].add(
+                    jnp.bitwise_and(out[:, :fold], 1).astype(a.dtype))
             return jax.lax.fori_loop(0, k, body, a0)[0, 0]
         return loop
 
     chain = args.chain
+    if chain < 2:
+        raise SystemExit(f"--chain must be >= 2, got {chain}")
     l1, lc = _make_loop(1), _make_loop(chain)
     a0 = jnp.asarray(act)
     np.asarray(l1(a0)), np.asarray(lc(a0))  # compile
-    pairs = []
-    for _ in range(max(args.iters, 3)):
-        t0 = _time.perf_counter()
-        np.asarray(l1(a0))
-        t1 = _time.perf_counter()
-        np.asarray(lc(a0))
-        t2 = _time.perf_counter()
-        p = ((t2 - t1) - (t1 - t0)) / (chain - 1)
-        if p > 0:
-            pairs.append(p)
-    if not pairs:
-        raise RuntimeError("jitter swamped every chained pair; re-run")
-    dt = float(np.median(pairs))
+    dt = median_pair_time(l1, lc, a0, chain, args.iters)
     ops = 2 * bsr.nnz_blocks * bsr.block_h * bsr.block_w * M
     row = {
         "artifact": args.artifact, "M": M, "K": K, "N": n,

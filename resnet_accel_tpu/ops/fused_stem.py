@@ -154,9 +154,9 @@ def space_to_depth_nhwc_from_nchw(q: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "bands", "interpret"))
+    jax.jit, static_argnames=("relu", "interpret"))
 def _fused_stem_pool_call(xbands, w_gemm, bias, factors, *,
-                          relu: bool, bands: int, interpret: bool):
+                          relu: bool, interpret: bool):
     N, B, HB, WP, CP = xbands.shape
     hb, wo = HB - 3, WP - 3
     prb = hb // 2 - 1  # pool rows per band
@@ -279,7 +279,7 @@ def fused_stem_pool(
         [sp[:, 2 * prb * j: 2 * prb * j + 2 * prb + 5]
          for j in range(bands)], axis=1)   # [N, B, 2*prb+5, W/2+3, 16]
     out = _fused_stem_pool_call(xb, w_gemm, bias2d, fct2d,
-                                relu=relu, bands=bands,
+                                relu=relu,
                                 interpret=interpret)    # [N, pr, ho, O]
     # Column half of the maxpool (cols {2c-1, 2c, 2c+1}) — one small
     # XLA elementwise pass on the 4x-reduced tensor.

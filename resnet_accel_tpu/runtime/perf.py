@@ -224,3 +224,35 @@ def trace_profile(fn: Callable, *args, logdir: str = "/tmp/rat_trace"):
         out = fn(*args)
         jax.block_until_ready(out)
     return logdir
+
+
+def median_pair_time(l1: Callable, lc: Callable, x, chain: int,
+                     iters: int = 9) -> float:
+    """Median-of-pairs chained timing: seconds per call.
+
+    ``l1``/``lc`` are compiled callables running 1 and ``chain``
+    dependent calls; each iteration times both back to back and
+    subtracts, so slow tunnel drift between separately-timed phases
+    cannot masquerade as kernel time.  The median is taken over ALL
+    pairs (including negative jitter artifacts — censoring only one
+    tail would bias the estimate); a non-positive median means jitter
+    swamped the measurement entirely and raises.
+    """
+    if chain < 2:
+        raise ValueError(f"chain must be >= 2, got {chain}")
+    import numpy as np
+
+    pairs = []
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(l1(x))
+        t1 = time.perf_counter()
+        jax.block_until_ready(lc(x))
+        t2 = time.perf_counter()
+        pairs.append(((t2 - t1) - (t1 - t0)) / (chain - 1))
+    med = float(np.median(pairs))
+    if med <= 0:
+        raise RuntimeError(
+            f"non-positive chained median over {len(pairs)} pairs; "
+            "dispatch jitter swamped the measurement — re-run")
+    return med

@@ -46,3 +46,41 @@ class TestProfile:
         table = profile_table(prof)
         assert "stem" in table and "TOTAL" in table and "bound" in table
         assert len(table.splitlines()) == 23
+
+
+class TestMedianPairTime:
+    def test_basic_and_validation(self):
+        import pytest
+
+        from resnet_accel_tpu.runtime.perf import median_pair_time
+
+        import numpy as np
+
+        class _Arr:  # minimal block_until_ready target
+            def block_until_ready(self):
+                return self
+
+        import time as _t
+        calls = {"l1": 0.001, "lc": 0.009}
+
+        def l1(x):
+            _t.sleep(calls["l1"]); return np.zeros(1)
+
+        def lc(x):
+            _t.sleep(calls["lc"]); return np.zeros(1)
+
+        dt = median_pair_time(l1, lc, None, chain=9, iters=3)
+        # (9ms - 1ms) / 8 = ~1ms per call
+        assert 0.0005 < dt < 0.005
+
+        with pytest.raises(ValueError, match="chain"):
+            median_pair_time(l1, lc, None, chain=1)
+
+        def fast(x):
+            return np.zeros(1)
+
+        def slow_first(x):
+            _t.sleep(0.005); return np.zeros(1)
+
+        with pytest.raises(RuntimeError, match="non-positive"):
+            median_pair_time(slow_first, fast, None, chain=16, iters=3)
