@@ -62,7 +62,7 @@ class TestBenchArtifact:
         bsr = build_bsr_int8_direct(W, 128)
         d = tmp_path / "layer"
         save_layer_dir(bsr, str(d), "test_fc")
-        rc = main(["bench", "--artifact", str(d), "--chain", "3",
+        rc = main(["bench", "--artifact", str(d), "--chain", "32",
                    "--iters", "3", "--backend", "cpu",
                    "--output", str(tmp_path / "out.json")])
         assert rc == 0
