@@ -14,6 +14,10 @@ from resnet_accel_tpu.models.resnet18 import (
     prune_params_blockwise,
     quantize_resnet18,
 )
+from resnet_accel_tpu.models.resnet import (
+    init_resnet_fp32,
+    quantize_resnet,
+)
 from resnet_accel_tpu.models.attention import (
     SparseAttentionInt8,
     SparseProjection,
@@ -33,6 +37,8 @@ __all__ = [
     "make_resnet18_forward",
     "prune_params_blockwise",
     "quantize_resnet18",
+    "init_resnet_fp32",
+    "quantize_resnet",
     "SparseAttentionInt8",
     "SparseProjection",
     "TransformerBlockInt8",

@@ -69,6 +69,18 @@ from resnet_accel_tpu.sparse import build_bsr_int8_direct
 #: Stage plan: (out_channels, blocks, first_stride) — resnet_inference.hpp
 #: layer table (4 stages x 2 basic blocks, downsample at stage 2-4 starts).
 STAGES = [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]
+#: Deeper family plans (torchvision geometry).  18/34 use basic blocks
+#: (expansion 1); 50/101/152 use bottlenecks (1x1 -> 3x3 -> 1x1,
+#: expansion 4).  models/resnet.py dispatches on depth.
+STAGE_PLANS = {
+    18: STAGES,
+    34: [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)],
+    50: [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)],
+    101: [(64, 3, 1), (128, 4, 2), (256, 23, 2), (512, 3, 2)],
+    152: [(64, 3, 1), (128, 8, 2), (256, 36, 2), (512, 3, 2)],
+}
+BOTTLENECK_DEPTHS = frozenset({50, 101, 152})
+EXPANSION = 4  # bottleneck output channels = out_c * EXPANSION
 BN_EPS = 1e-5
 
 
@@ -77,13 +89,17 @@ BN_EPS = 1e-5
 # ==========================================================================
 
 def init_resnet18_fp32(
-    seed: int = 0, num_classes: int = 1000, small_input: bool = False
+    seed: int = 0, num_classes: int = 1000, small_input: bool = False,
+    stages=None, bottleneck: bool = False,
 ) -> Dict[str, np.ndarray]:
     """He-init FP32 parameters in torchvision's flat naming scheme.
 
     Deterministic (seeded) so tests are reproducible — the reference
     seeds all its trainers the same way (train_mnist.py:12-23).
+    ``stages``/``bottleneck`` generalize the plan to the full family
+    (models/resnet.py); defaults are ResNet-18.
     """
+    stages = STAGES if stages is None else stages
     rng = np.random.default_rng(seed)
     p: Dict[str, np.ndarray] = {}
 
@@ -108,20 +124,30 @@ def init_resnet18_fp32(
     bn("bn1", 64)
 
     in_c = 64
-    for si, (out_c, blocks, stride) in enumerate(STAGES, start=1):
+    for si, (out_c, blocks, stride) in enumerate(stages, start=1):
+        exp_c = out_c * EXPANSION if bottleneck else out_c
         for b in range(blocks):
             base = f"layer{si}.{b}"
-            conv(f"{base}.conv1", out_c, in_c if b == 0 else out_c, 3)
-            bn(f"{base}.bn1", out_c)
-            conv(f"{base}.conv2", out_c, out_c, 3)
-            bn(f"{base}.bn2", out_c)
-            if b == 0 and (stride != 1 or in_c != out_c):
-                conv(f"{base}.downsample.0", out_c, in_c, 1)
-                bn(f"{base}.downsample.1", out_c)
-        in_c = out_c
+            c_in = in_c if b == 0 else exp_c
+            if bottleneck:
+                conv(f"{base}.conv1", out_c, c_in, 1)
+                bn(f"{base}.bn1", out_c)
+                conv(f"{base}.conv2", out_c, out_c, 3)
+                bn(f"{base}.bn2", out_c)
+                conv(f"{base}.conv3", exp_c, out_c, 1)
+                bn(f"{base}.bn3", exp_c)
+            else:
+                conv(f"{base}.conv1", out_c, c_in, 3)
+                bn(f"{base}.bn1", out_c)
+                conv(f"{base}.conv2", out_c, out_c, 3)
+                bn(f"{base}.bn2", out_c)
+            if b == 0 and (stride != 1 or c_in != exp_c):
+                conv(f"{base}.downsample.0", exp_c, c_in, 1)
+                bn(f"{base}.downsample.1", exp_c)
+        in_c = exp_c
 
     p["fc.weight"] = (
-        rng.normal(0, 0.01, (num_classes, 512)).astype(np.float32))
+        rng.normal(0, 0.01, (num_classes, in_c)).astype(np.float32))
     p["fc.bias"] = np.zeros(num_classes, np.float32)
     return p
 
@@ -170,6 +196,35 @@ class QBlock:
     s_res: float             # scale of the residual path (s_in or s_ds)
     s_out: float
 
+    def named_convs(self, i: int):
+        yield f"b{i}.c1", self.conv1
+        yield f"b{i}.c2", self.conv2
+        if self.downsample is not None:
+            yield f"b{i}.ds", self.downsample
+
+
+@dataclasses.dataclass
+class QBottleneck:
+    """Bottleneck residual block (1x1 -> 3x3 -> 1x1, expansion 4) for the
+    deeper family (ResNet-50/101/152); the 1x1 convs are GEMM-shaped,
+    exactly where the zero-skip BSR kernel wins (docs/ARCHITECTURE.md)."""
+
+    conv1: QConv             # 1x1 reduce, ReLU
+    conv2: QConv             # 3x3 (carries the stride), ReLU
+    conv3: QConv             # 1x1 expand, no ReLU (pre-residual)
+    downsample: Optional[QConv]
+    s_in: float
+    s_main: float            # scale of the conv3 output
+    s_res: float
+    s_out: float
+
+    def named_convs(self, i: int):
+        yield f"b{i}.c1", self.conv1
+        yield f"b{i}.c2", self.conv2
+        yield f"b{i}.c3", self.conv3
+        if self.downsample is not None:
+            yield f"b{i}.ds", self.downsample
+
 
 @dataclasses.dataclass
 class ResNet18Int8:
@@ -196,10 +251,8 @@ class ResNet18Int8:
 
         put("stem", self.stem)
         for i, blk in enumerate(self.blocks):
-            put(f"b{i}.c1", blk.conv1)
-            put(f"b{i}.c2", blk.conv2)
-            if blk.downsample is not None:
-                put(f"b{i}.ds", blk.downsample)
+            for prefix, qc in blk.named_convs(i):
+                put(prefix, qc)
         out["fc.w"] = jnp.asarray(self.fc_w.T)
         out["fc.b"] = jnp.asarray(self.fc_b)
         out["fc.deq"] = jnp.asarray(self.fc_deq)
@@ -218,10 +271,7 @@ class ResNet18Int8:
     def named_convs(self):
         yield "stem", self.stem
         for i, blk in enumerate(self.blocks):
-            yield f"b{i}.c1", blk.conv1
-            yield f"b{i}.c2", blk.conv2
-            if blk.downsample is not None:
-                yield f"b{i}.ds", blk.downsample
+            yield from blk.named_convs(i)
 
     def sparsity_report(self) -> Dict[str, float]:
         """Per-layer block sparsity of attached BSR weights
@@ -238,12 +288,14 @@ class ResNet18Int8:
 # Quantization (PTQ with calibration)
 # ==========================================================================
 
-def _float_forward_taps(params, x, small_input):
+def _float_forward_taps(params, x, small_input, stages=None,
+                        bottleneck: bool = False):
     """Inference-mode FP32 forward (BN folded) returning activation taps.
 
     Calibration-only; uses lax.conv for speed (quantize_resnet18.py's
     ActivationCalibrator role, :103-160).
     """
+    stages = STAGES if stages is None else stages
     taps = {}
 
     def conv(name, x, stride, padding):
@@ -267,16 +319,22 @@ def _float_forward_taps(params, x, small_input):
             (1, 1, 3, 3), (1, 1, 2, 2),
             ((0, 0), (0, 0), (1, 1), (1, 1)))
     bi = 0
-    in_c = 64
-    for si, (out_c, blocks, stride) in enumerate(STAGES, start=1):
+    for si, (out_c, blocks, stride) in enumerate(stages, start=1):
         for b in range(blocks):
             base = f"layer{si}.{b}"
             st = stride if b == 0 else 1
-            y = conv(f"{base}.conv1", a, st, 1)
-            y = jnp.maximum(y, 0)
-            taps[f"b{bi}.c1"] = y
-            y = conv(f"{base}.conv2", y, 1, 1)
-            taps[f"b{bi}.c2"] = y
+            if bottleneck:
+                y = jnp.maximum(conv(f"{base}.conv1", a, 1, 0), 0)
+                taps[f"b{bi}.c1"] = y
+                y = jnp.maximum(conv(f"{base}.conv2", y, st, 1), 0)
+                taps[f"b{bi}.c2"] = y
+                y = conv(f"{base}.conv3", y, 1, 0)
+                taps[f"b{bi}.c3"] = y
+            else:
+                y = jnp.maximum(conv(f"{base}.conv1", a, st, 1), 0)
+                taps[f"b{bi}.c1"] = y
+                y = conv(f"{base}.conv2", y, 1, 1)
+                taps[f"b{bi}.c2"] = y
             if f"{base}.downsample.0" in params:
                 r = conv(f"{base}.downsample.0", a, st, 0)
                 taps[f"b{bi}.ds"] = r
@@ -285,7 +343,6 @@ def _float_forward_taps(params, x, small_input):
             a = jnp.maximum(y + r, 0)
             taps[f"b{bi}.out"] = a
             bi += 1
-        in_c = out_c
     a = jnp.mean(a, axis=(2, 3))
     logits = a @ jnp.asarray(params["fc.weight"]).T \
         + jnp.asarray(params["fc.bias"])
@@ -298,12 +355,17 @@ def quantize_resnet18(
     calib_x: np.ndarray,
     num_classes: int = 1000,
     small_input: bool = False,
+    stages=None,
+    bottleneck: bool = False,
 ) -> ResNet18Int8:
     """Fold BN, quantize per-channel INT8, calibrate activation scales.
 
     ``calib_x``: FP32 NCHW calibration batch (quantize_resnet18.py's
     calibrate_activations over N batches, here one representative batch).
+    ``stages``/``bottleneck`` generalize to the deeper family
+    (models/resnet.py); defaults are ResNet-18.
     """
+    stages = STAGES if stages is None else stages
     # ---- 1. fold BN into convs ------------------------------------------
     folded: Dict[str, np.ndarray] = {}
 
@@ -318,11 +380,13 @@ def quantize_resnet18(
         folded[conv_name + ".bias"] = b
 
     fold("conv1", "bn1")
-    for si, (out_c, blocks, _) in enumerate(STAGES, start=1):
+    for si, (out_c, blocks, _) in enumerate(stages, start=1):
         for b in range(blocks):
             base = f"layer{si}.{b}"
             fold(f"{base}.conv1", f"{base}.bn1")
             fold(f"{base}.conv2", f"{base}.bn2")
+            if bottleneck:
+                fold(f"{base}.conv3", f"{base}.bn3")
             if f"{base}.downsample.0.weight" in params_fp32:
                 fold(f"{base}.downsample.0", f"{base}.downsample.1")
     folded["fc.weight"] = params_fp32["fc.weight"]
@@ -331,7 +395,8 @@ def quantize_resnet18(
     # ---- 2. calibrate activation scales ---------------------------------
     with jax.default_device(jax.devices("cpu")[0]):
         _, taps = _float_forward_taps(
-            folded, jnp.asarray(calib_x, jnp.float32), small_input)
+            folded, jnp.asarray(calib_x, jnp.float32), small_input,
+            stages=stages, bottleneck=bottleneck)
         taps = {k: np.asarray(v) for k, v in taps.items()}
 
     def scale_of(arr):
@@ -356,32 +421,45 @@ def quantize_resnet18(
     stem = qconv("conv1", s_input, s["stem"], True, 3, stem_k, stem_s,
                  stem_p)
 
-    blocks: List[QBlock] = []
+    blocks: List = []
     bi = 0
     in_c = 64
     s_prev = s["stem"]
-    for si, (out_c, nblocks, stride) in enumerate(STAGES, start=1):
+    for si, (out_c, nblocks, stride) in enumerate(stages, start=1):
+        exp_c = out_c * EXPANSION if bottleneck else out_c
         for b in range(nblocks):
             base = f"layer{si}.{b}"
             st = stride if b == 0 else 1
-            c_in = in_c if b == 0 else out_c
-            conv1 = qconv(f"{base}.conv1", s_prev, s[f"b{bi}.c1"], True,
-                          c_in, 3, st, 1)
-            conv2 = qconv(f"{base}.conv2", s[f"b{bi}.c1"], s[f"b{bi}.c2"],
-                          False, out_c, 3, 1, 1)
+            c_in = in_c if b == 0 else exp_c
             ds = None
             s_res = s_prev
             if f"{base}.downsample.0" in folded:
                 ds = qconv(f"{base}.downsample.0", s_prev, s[f"b{bi}.ds"],
                            False, c_in, 1, st, 0)
                 s_res = s[f"b{bi}.ds"]
-            blocks.append(QBlock(
-                conv1=conv1, conv2=conv2, downsample=ds,
-                s_in=s_prev, s_main=s[f"b{bi}.c2"], s_res=s_res,
-                s_out=s[f"b{bi}.out"]))
+            if bottleneck:
+                conv1 = qconv(f"{base}.conv1", s_prev, s[f"b{bi}.c1"],
+                              True, c_in, 1, 1, 0)
+                conv2 = qconv(f"{base}.conv2", s[f"b{bi}.c1"],
+                              s[f"b{bi}.c2"], True, out_c, 3, st, 1)
+                conv3 = qconv(f"{base}.conv3", s[f"b{bi}.c2"],
+                              s[f"b{bi}.c3"], False, out_c, 1, 1, 0)
+                blocks.append(QBottleneck(
+                    conv1=conv1, conv2=conv2, conv3=conv3, downsample=ds,
+                    s_in=s_prev, s_main=s[f"b{bi}.c3"], s_res=s_res,
+                    s_out=s[f"b{bi}.out"]))
+            else:
+                conv1 = qconv(f"{base}.conv1", s_prev, s[f"b{bi}.c1"],
+                              True, c_in, 3, st, 1)
+                conv2 = qconv(f"{base}.conv2", s[f"b{bi}.c1"],
+                              s[f"b{bi}.c2"], False, out_c, 3, 1, 1)
+                blocks.append(QBlock(
+                    conv1=conv1, conv2=conv2, downsample=ds,
+                    s_in=s_prev, s_main=s[f"b{bi}.c2"], s_res=s_res,
+                    s_out=s[f"b{bi}.out"]))
             s_prev = s[f"b{bi}.out"]
             bi += 1
-        in_c = out_c
+        in_c = exp_c
 
     # ---- 4. final FC ------------------------------------------------------
     fc_q, fc_s = quantize_symmetric_per_channel(folded["fc.weight"], axis=0)
@@ -426,15 +504,17 @@ def attach_bsr(
         return dataclasses.replace(
             qc, bsr=pack_kernel_bsr(bsr, chunk=chunk))
 
-    new_blocks = [
-        dataclasses.replace(
-            blk,
+    def convert(blk, i):
+        repl = dict(
             conv1=maybe(blk.conv1, f"b{i}.c1"),
             conv2=maybe(blk.conv2, f"b{i}.c2"),
             downsample=(maybe(blk.downsample, f"b{i}.ds")
                         if blk.downsample is not None else None))
-        for i, blk in enumerate(model.blocks)
-    ]
+        if isinstance(blk, QBottleneck):
+            repl["conv3"] = maybe(blk.conv3, f"b{i}.c3")
+        return dataclasses.replace(blk, **repl)
+
+    new_blocks = [convert(blk, i) for i, blk in enumerate(model.blocks)]
     return dataclasses.replace(model, stem=maybe(model.stem, "stem"),
                                blocks=new_blocks)
 
@@ -496,8 +576,11 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     whole-graph layout assignment on the NCHW program beats the
     hand-forced channel-minor pipeline by ~20%), so NCHW is the default.
     Sparse (attach_bsr) layers require NCHW."""
-    if layout == "NHWC" and conv_method == "native" and not any(
-            qc.bsr is not None for _, qc in model.named_convs()):
+    if (layout == "NHWC" and conv_method == "native"
+            and not any(qc.bsr is not None
+                        for _, qc in model.named_convs())
+            and not any(isinstance(b, QBottleneck)
+                        for b in model.blocks)):
         return _make_forward_nhwc(model, use_pallas, backend,
                                   stem_s2d=stem_s2d)
 
@@ -564,6 +647,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         for i, blk in enumerate(model.blocks):
             y = run_conv(params, f"b{i}.c1", blk.conv1, a)
             y = run_conv(params, f"b{i}.c2", blk.conv2, y)
+            if isinstance(blk, QBottleneck):
+                y = run_conv(params, f"b{i}.c3", blk.conv3, y)
             r = run_conv(params, f"b{i}.ds", blk.downsample, a) \
                 if blk.downsample is not None else a
             with jax.named_scope(f"b{i}.add"):
@@ -666,6 +751,8 @@ def forward_golden(model: ResNet18Int8, x: np.ndarray) -> np.ndarray:
         for blk in model.blocks:
             y = _g_conv(blk.conv1, a)
             y = _g_conv(blk.conv2, y)
+            if isinstance(blk, QBottleneck):
+                y = _g_conv(blk.conv3, y)
             r = _g_conv(blk.downsample, a) if blk.downsample is not None \
                 else a
             s = (y.astype(np.float32) * np.float32(blk.s_main)
