@@ -37,13 +37,16 @@ def cmd_infer(args):
         eng = InferenceEngine(model, make_forward, backend=args.backend)
         res = eng.run_inference(xin[:args.limit])
     else:
-        from resnet_accel_tpu.models.resnet18 import (
-            init_resnet18_fp32, quantize_resnet18, make_forward)
-        fp32 = init_resnet18_fp32(seed=0, num_classes=args.num_classes,
-                                  small_input=args.small_input)
+        from resnet_accel_tpu.models.resnet import (
+            init_resnet_fp32, quantize_resnet)
+        from resnet_accel_tpu.models.resnet18 import make_forward
+        depth = args.depth if args.model == "resnet" else 18
+        fp32 = init_resnet_fp32(depth, seed=0,
+                                num_classes=args.num_classes,
+                                small_input=args.small_input)
         calib = x[:4].astype(np.float32)
-        model = quantize_resnet18(fp32, calib, args.num_classes,
-                                  small_input=args.small_input)
+        model = quantize_resnet(fp32, calib, depth, args.num_classes,
+                                small_input=args.small_input)
         eng = InferenceEngine(model, make_forward, backend=args.backend)
         res = eng.run_inference(x[:args.limit].astype(np.float32))
     for i, (pred, t5) in enumerate(zip(res.predictions, res.top5)):
@@ -400,8 +403,11 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("infer", help="run INT8 inference")
-    pi.add_argument("--model", choices=["mnist", "resnet18"],
+    pi.add_argument("--model", choices=["mnist", "resnet18", "resnet"],
                     default="mnist")
+    pi.add_argument("--depth", type=int, default=18,
+                    help="ResNet depth for --model resnet "
+                         "(18/34/50/101/152)")
     pi.add_argument("--weights", default="/root/reference/data/int8")
     pi.add_argument("--input", required=True,
                     help=".npy image array")
