@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from resnet_accel_tpu.models.resnet18 import STAGES, init_resnet18_fp32
+from resnet_accel_tpu.models.resnet18 import (STAGES, init_resnet18_fp32)
 
 BN_MOMENTUM = 0.1
 BN_EPS = 1e-5
@@ -74,8 +74,12 @@ def _conv(name, x, p, stride, padding):
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
 
-def resnet18_forward(p, s, x, small_input: bool, training: bool):
-    """Returns (logits, updated bn_state)."""
+def resnet18_forward(p, s, x, small_input: bool, training: bool,
+                     stages=None, bottleneck: bool = False):
+    """Returns (logits, updated bn_state).  ``stages``/``bottleneck``
+    generalize to the family plans (models/resnet.py); defaults are
+    ResNet-18."""
+    stages = STAGES if stages is None else stages
     updates = {}
 
     def bn(name, x):
@@ -100,14 +104,22 @@ def resnet18_forward(p, s, x, small_input: bool, training: bool):
         a = m
 
     bi = 0
-    for si, (out_c, blocks, stride) in enumerate(STAGES, start=1):
+    for si, (out_c, blocks, stride) in enumerate(stages, start=1):
         for b in range(blocks):
             base = f"layer{si}.{b}"
             st = stride if b == 0 else 1
-            y = _conv(f"{base}.conv1", a, p, st, 1)
-            y = jnp.maximum(bn(f"{base}.bn1", y), 0)
-            y = _conv(f"{base}.conv2", y, p, 1, 1)
-            y = bn(f"{base}.bn2", y)
+            if bottleneck:
+                y = _conv(f"{base}.conv1", a, p, 1, 0)
+                y = jnp.maximum(bn(f"{base}.bn1", y), 0)
+                y = _conv(f"{base}.conv2", y, p, st, 1)
+                y = jnp.maximum(bn(f"{base}.bn2", y), 0)
+                y = _conv(f"{base}.conv3", y, p, 1, 0)
+                y = bn(f"{base}.bn3", y)
+            else:
+                y = _conv(f"{base}.conv1", a, p, st, 1)
+                y = jnp.maximum(bn(f"{base}.bn1", y), 0)
+                y = _conv(f"{base}.conv2", y, p, 1, 1)
+                y = bn(f"{base}.bn2", y)
             if f"{base}.downsample.0.weight" in p:
                 r = _conv(f"{base}.downsample.0", a, p, st, 0)
                 r = bn(f"{base}.downsample.1", r)
@@ -143,6 +155,8 @@ def train_resnet18(
     mask_fn: Optional[Callable] = None,
     reg_fn: Optional[Callable] = None,
     init: Optional[Dict[str, np.ndarray]] = None,
+    stages=None,
+    bottleneck: bool = False,
 ) -> TrainState:
     """SGD-momentum training with per-step mask re-application.
 
@@ -150,7 +164,8 @@ def train_resnet18(
     train.mnist (the BlockSparsePruner hooks).
     """
     flat = init if init is not None else init_resnet18_fp32(
-        seed=seed, num_classes=num_classes, small_input=small_input)
+        seed=seed, num_classes=num_classes, small_input=small_input,
+        stages=stages, bottleneck=bottleneck)
     params, bn_state = split_params(flat)
     params = {k: jnp.asarray(v) for k, v in params.items()}
     bn_state = {k: jnp.asarray(v) for k, v in bn_state.items()}
@@ -161,7 +176,9 @@ def train_resnet18(
     opt_state = opt.init(params)
 
     def loss_fn(p, s, xb, yb):
-        logits, updates = resnet18_forward(p, s, xb, small_input, True)
+        logits, updates = resnet18_forward(
+            p, s, xb, small_input, True, stages=stages,
+            bottleneck=bottleneck)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, yb).mean()
         if reg_fn is not None:

@@ -83,3 +83,29 @@ class TestTrainer:
         float_pred = np.asarray(logits).argmax(-1)
         int8_pred = forward_golden(model, x[:16]).argmax(-1)
         assert (float_pred == int8_pred).mean() >= 0.75
+
+
+def test_train_bottleneck_plan_end_to_end():
+    """Family trainer: a tiny bottleneck plan trains, exports, quantizes,
+    and the INT8 model matches its golden bit-exactly."""
+    import numpy as np
+
+    from resnet_accel_tpu.models.resnet18 import (
+        forward_golden, make_forward, quantize_resnet18)
+    from resnet_accel_tpu.train.resnet18 import (
+        export_inference_params, train_resnet18)
+
+    rng = np.random.default_rng(7)
+    stages = [(8, 1, 1), (16, 1, 2)]
+    x = rng.normal(0, 1, (32, 3, 32, 32)).astype(np.float32)
+    y = (x[:, 0, :8, :8].mean(axis=(1, 2)) > 0).astype(np.int64)
+    st = train_resnet18(x, y, epochs=1, batch_size=16, num_classes=2,
+                        small_input=True, stages=stages, bottleneck=True)
+    assert np.isfinite(st.history[-1]["loss"])
+    flat = export_inference_params(st)
+    assert "layer1.0.conv3.weight" in flat
+    model = quantize_resnet18(flat, x[:4], 2, small_input=True,
+                              stages=stages, bottleneck=True)
+    fwd = make_forward(model, use_pallas=False, backend="cpu")
+    out = np.asarray(fwd(model.as_device_params(), x[:2]))
+    np.testing.assert_array_equal(out, forward_golden(model, x[:2]))
