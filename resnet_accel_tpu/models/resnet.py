@@ -5,9 +5,13 @@ Beyond-parity extension of the reference's single ResNet-18 table
 conv-BN-ReLU-requant machinery, residual semantics, and zero-skip BSR
 routing generalized over torchvision's stage plans.  Depths 18/34 use
 basic blocks; 50/101/152 use bottlenecks (1x1 -> 3x3 -> 1x1, expansion
-4) whose 1x1 convs are GEMM-shaped — exactly the layer class where the
-zero-skip kernel beats dense (docs/ARCHITECTURE.md §7), so
-``attach_bsr`` pays off on far more of the network than in ResNet-18.
+4).  ``attach_bsr`` can route any layer (incl. the 1x1s) through the
+zero-skip kernel — bit-exact — but measured on v5e the 1x1 convs at
+ImageNet spatial sizes are activation-traffic-bound like the 3x3s
+(routed-sparse e2e 0.23x dense at 70% block sparsity), so the dense
+native conv stays the default; zero-skip wins remain on the
+weight-dominated GEMM layers (FC, attention projections).  See
+docs/ARCHITECTURE.md §7.
 
 Everything returns the same ``ResNet18Int8`` container (blocks may be
 ``QBlock`` or ``QBottleneck``), so ``make_forward``, ``attach_bsr``,
