@@ -69,11 +69,14 @@ def profile_resnet18(
     for i, blk in enumerate(model.blocks):
         ho, wo, macs, byt = _conv_geometry(blk.conv1, h, w)
         rows.append((f"b{i}.c1", macs, byt))
-        _, _, macs2, byt2 = _conv_geometry(blk.conv2, ho, wo)
+        ho, wo, macs2, byt2 = _conv_geometry(blk.conv2, ho, wo)
         rows.append((f"b{i}.c2", macs2, byt2))
+        if hasattr(blk, "conv3"):  # bottleneck (stride sits on conv2)
+            ho, wo, macs3, byt3 = _conv_geometry(blk.conv3, ho, wo)
+            rows.append((f"b{i}.c3", macs3, byt3))
         if blk.downsample is not None:
-            _, _, macs3, byt3 = _conv_geometry(blk.downsample, h, w)
-            rows.append((f"b{i}.ds", macs3, byt3))
+            _, _, macsd, bytd = _conv_geometry(blk.downsample, h, w)
+            rows.append((f"b{i}.ds", macsd, bytd))
         h, w = ho, wo
 
     n_cls, feat = model.fc_w.shape
