@@ -368,17 +368,19 @@ def cmd_generate(args):
 def cmd_profile(args):
     """Per-layer profile of ResNet-18 INT8: roofline table (default) or
     measured per-HLO device times via --measured (TPU only)."""
-    from resnet_accel_tpu.models.resnet18 import (
-        init_resnet18_fp32, quantize_resnet18, make_forward)
+    from resnet_accel_tpu.models.resnet import (
+        init_resnet_fp32, quantize_resnet)
+    from resnet_accel_tpu.models.resnet18 import make_forward
     from resnet_accel_tpu.runtime import InferenceEngine
 
     rng = np.random.default_rng(0)
     hw = 32 if args.small_input else 224
-    fp32 = init_resnet18_fp32(seed=0, num_classes=args.num_classes,
-                              small_input=args.small_input)
+    depth = getattr(args, "depth", 18)
+    fp32 = init_resnet_fp32(depth, seed=0, num_classes=args.num_classes,
+                            small_input=args.small_input)
     calib = rng.normal(0, 1, (2, 3, hw, hw)).astype(np.float32)
-    model = quantize_resnet18(fp32, calib, args.num_classes,
-                              args.small_input)
+    model = quantize_resnet(fp32, calib, depth, args.num_classes,
+                            args.small_input)
     if args.measured:
         import jax.numpy as jnp
         from resnet_accel_tpu.runtime import xprof
@@ -483,6 +485,8 @@ def build_parser():
     pv.set_defaults(fn=cmd_verify)
 
     pp = sub.add_parser("profile", help="per-layer roofline profile")
+    pp.add_argument("--depth", type=int, default=18,
+                    help="ResNet depth (18/34/50/101/152)")
     pp.add_argument("--measured", action="store_true",
                     help="measured per-layer device times from the "
                          "xprof trace (TPU only)")
