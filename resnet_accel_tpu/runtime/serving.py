@@ -1,0 +1,201 @@
+"""Continuous-batching LM serving: slot-based batched greedy decoding.
+
+Production LM serving rarely sees aligned request batches; the standard
+engine shape (Orca-style continuous batching) keeps a fixed pool of
+sequence slots stepping in lockstep — every device dispatch advances
+ALL active slots by one token, requests join a free slot the moment one
+drains, and prompt ingestion ("prefill") rides the same batched decode
+step by force-feeding prompt tokens (their logits are ignored until the
+prompt is consumed).
+
+TPU-native angles:
+- ONE jitted program for the whole engine step: vmapped
+  ``TransformerLMInt8.decode_step`` over the stacked per-slot KV caches
+  (static shapes: the pool size and cache length never change).
+- Slot recycling is a tiny jitted cache reset (`len = 0`); stale K/V
+  beyond ``len`` is never attended (decode_step masks by position), so
+  no cache zeroing is needed.
+- Greedy results are bit-identical to ``TransformerLMInt8.generate``
+  per sequence (token-by-token prefill is the same computation), which
+  is what the tests assert — including slot-reuse isolation.
+
+The reference has no serving stack at all (its runtime is a single
+accelerator driver); this module is a beyond-parity capability on top
+of the INT8 sparse LM (models/lm.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    prompt: List[int]
+    n_new: int
+    fed: int = 0                 # prompt tokens consumed so far
+    out: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def prefilling(self) -> bool:
+        return self.fed < len(self.prompt)
+
+    @property
+    def done(self) -> bool:
+        return not self.prefilling and len(self.out) >= self.n_new
+
+
+class ContinuousBatcher:
+    """Fixed-pool continuous batching over an INT8 LM.
+
+    Args:
+        model: models.lm.TransformerLMInt8.
+        scales: static activation scales (model.calibrate(...)).
+        slots: sequence slots stepping per dispatch (the static batch).
+        max_len: per-slot KV length (default model.max_len).
+    """
+
+    def __init__(self, model, scales, slots: int = 4,
+                 max_len: Optional[int] = None, chunk: int = 1):
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        self.model = model
+        self.scales = scales
+        self.slots = slots
+        self.chunk = chunk
+        self.max_len = model.max_len if max_len is None else max_len
+
+        per_slot = [model.init_caches(self.max_len)
+                    for _ in range(slots)]
+        self.caches = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *per_slot)
+
+        def one(c, t):
+            logits, c2 = model.decode_step(c, t, scales)
+            return c2, jnp.argmax(logits).astype(jnp.int32)
+
+        def chunk_step(caches, prev, forced, mask):
+            """Scan k lockstep micro-steps in ONE dispatch.
+
+            ``prev`` [B]: each slot's previous output token;
+            ``forced``/``mask`` [k, B]: prompt tokens still being
+            ingested (masked slots take the forced token instead of
+            their feedback) — so prefill and decode mix freely inside
+            a chunk and the result is identical to k single steps.
+            Returns (caches, outs [k, B]).
+            """
+            def body(carry, fm):
+                caches, prev = carry
+                f, m = fm
+                toks = jnp.where(m, f, prev)
+                caches, nxt = jax.vmap(one)(caches, toks)
+                return (caches, nxt), nxt
+
+            (caches, _), outs = jax.lax.scan(
+                body, (caches, prev), (forced, mask))
+            return caches, outs
+
+        def reset_slot(caches, slot):
+            # Only the position needs clearing: attention masks by
+            # ``len``, so stale K/V rows are unreachable.
+            return jax.tree.map(
+                lambda leaf: (leaf.at[slot].set(0)
+                              if leaf.ndim == 1 else leaf),
+                caches)
+
+        self._chunk_step = jax.jit(chunk_step)
+        self._reset = jax.jit(reset_slot, static_argnums=1)
+
+        self._queue: List[_Request] = []
+        self._active: Dict[int, _Request] = {}      # slot -> request
+        self._results: Dict[int, List[int]] = {}
+        self._prev = np.zeros(slots, np.int32)      # last output/slot
+        self._next_rid = 0
+        self.steps = 0                               # device dispatches
+        self.micro_steps = 0                         # lockstep tokens
+
+    # ------------------------------------------------------------- api
+    def submit(self, prompt: Sequence[int], n_new: int) -> int:
+        """Enqueue a request; returns its id (see results())."""
+        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + n_new > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + n_new ({n_new}) exceeds "
+                f"slot cache length ({self.max_len})")
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, prompt, n_new))
+        return rid
+
+    def step_engine(self) -> bool:
+        """One engine iteration (ONE device dispatch): admit waiting
+        requests into free slots, then advance every slot ``chunk``
+        lockstep tokens.  Returns False when there is nothing to do.
+
+        Requests that finish mid-chunk simply feed their own feedback
+        for the remaining micro-steps (the extra tokens are discarded
+        and the slot's cache is reset on reuse) — iteration-level
+        scheduling, the standard continuous-batching granularity
+        trade-off.  ``chunk=1`` is exact per-token scheduling.
+        """
+        for slot in range(self.slots):
+            if slot not in self._active and self._queue:
+                self.caches = self._reset(self.caches, slot)
+                self._active[slot] = self._queue.pop(0)
+                self._prev[slot] = 0
+        if not self._active:
+            return False
+
+        k = self.chunk
+        forced = np.zeros((k, self.slots), np.int32)
+        mask = np.zeros((k, self.slots), bool)
+        for slot, req in self._active.items():
+            rem = req.prompt[req.fed:req.fed + k]
+            forced[:len(rem), slot] = rem
+            mask[:len(rem), slot] = True
+
+        self.caches, outs = self._chunk_step(
+            self.caches, jnp.asarray(self._prev),
+            jnp.asarray(forced), jnp.asarray(mask))
+        self.steps += 1
+        self.micro_steps += k
+        outs = np.asarray(outs)                      # [k, B]
+        self._prev = outs[-1].copy()
+
+        for slot in list(self._active):
+            req = self._active[slot]
+            for i in range(k):
+                if req.prefilling:
+                    req.fed += 1
+                    if not req.prefilling:
+                        # last prompt token's logits start generation
+                        req.out.append(int(outs[i, slot]))
+                elif not req.done:
+                    req.out.append(int(outs[i, slot]))
+            if req.done:
+                self._results[req.rid] = req.out[:req.n_new]
+                del self._active[slot]
+        return bool(self._active or self._queue)
+
+    def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
+        """Drain the queue; returns {request id: generated tokens}."""
+        for _ in range(max_steps):
+            if not self.step_engine():
+                break
+        else:
+            raise RuntimeError(f"engine did not drain in {max_steps} "
+                               "steps")
+        return dict(self._results)
+
+    def results(self) -> Dict[int, List[int]]:
+        return dict(self._results)
