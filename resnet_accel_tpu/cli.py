@@ -352,8 +352,15 @@ def cmd_generate(args):
     if prompt.size + args.n_new > args.max_len:
         raise SystemExit("prompt + n_new exceeds --max-len")
     t0 = _time.perf_counter()
-    toks = lm.generate(jnp.asarray(prompt), args.n_new, scales,
-                       flash=args.flash)
+    if args.temperature > 0:
+        import jax
+        toks = lm.sample(jnp.asarray(prompt), args.n_new, scales,
+                         jax.random.PRNGKey(args.sample_seed),
+                         temperature=args.temperature,
+                         top_k=args.top_k, flash=args.flash)
+    else:
+        toks = lm.generate(jnp.asarray(prompt), args.n_new, scales,
+                           flash=args.flash)
     toks = np.asarray(toks)
     dt = _time.perf_counter() - t0
     print(f"prompt:    {prompt.tolist()}")
@@ -511,6 +518,11 @@ def build_parser():
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--flash", action="store_true",
                     help="flash-attention prefill")
+    pg.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature (0 = greedy)")
+    pg.add_argument("--top-k", type=int, default=None,
+                    help="top-k truncation for sampling")
+    pg.add_argument("--sample-seed", type=int, default=0)
     pg.set_defaults(fn=cmd_generate)
 
     pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")

@@ -241,3 +241,66 @@ class TransformerLMInt8:
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(run)
         return self._gen_cache[key](jnp.asarray(prompt, jnp.int32))
+
+    def sample(self, prompt: jnp.ndarray, n_new: int, scales: Scales,
+               rng_key, temperature: float = 1.0,
+               top_k: Optional[int] = None, jit: bool = True,
+               flash: bool = False) -> jnp.ndarray:
+        """Stochastic decoding: temperature + optional top-k truncation.
+
+        One jitted program (parallel prefill + ``lax.scan`` of sampled
+        steps).  ``temperature <= 0`` degenerates to greedy argmax
+        (identical to ``generate``); ``top_k`` keeps only the k largest
+        logits before the categorical draw.  Deterministic for a fixed
+        ``rng_key`` (jax.random.PRNGKey/key).
+        """
+        n_prompt = int(np.asarray(prompt).shape[-1])
+        if n_prompt + n_new > self.max_len:
+            raise ValueError(
+                f"prompt ({n_prompt}) + n_new ({n_new}) exceeds "
+                f"max_len ({self.max_len})")
+        greedy = temperature <= 0.0
+
+        def pick(logits, key):
+            if greedy:
+                return jnp.argmax(logits).astype(jnp.int32)
+            z = logits / jnp.float32(temperature)
+            if top_k is not None and top_k < z.shape[-1]:
+                kth = jax.lax.top_k(z, top_k)[0][-1]
+                z = jnp.where(z < kth, -jnp.inf, z)
+            return jax.random.categorical(key, z).astype(jnp.int32)
+
+        def run(prompt_toks, key):
+            T = prompt_toks.shape[0]
+            x = jnp.asarray(self.embed)[prompt_toks] \
+                + jnp.asarray(self.pos)[:T]
+            caches = []
+            for i, blk in enumerate(self.blocks):
+                x, c = blk.prefill(x, scales[i],
+                                   blk.init_cache(self.max_len),
+                                   flash=flash)
+                caches.append(c)
+            key, sub = jax.random.split(key)
+            tok = pick(self._logits(x[-1:])[0], sub)
+
+            def step(carry, _):
+                caches, tok, key = carry
+                logits, caches = self.decode_step(caches, tok, scales)
+                key, sub = jax.random.split(key)
+                nxt = pick(logits, sub)
+                return (caches, nxt, key), tok
+
+            (_, _, _), toks = jax.lax.scan(
+                step, (caches, tok, key), None, length=n_new)
+            return toks
+
+        if not jit:
+            return run(jnp.asarray(prompt, jnp.int32), rng_key)
+        if not hasattr(self, "_sample_cache"):
+            self._sample_cache = {}
+        ck = (n_new, float(temperature), top_k, flash, n_prompt,
+              tuple(tuple(sorted(d.items())) for d in scales))
+        if ck not in self._sample_cache:
+            self._sample_cache[ck] = jax.jit(run)
+        return self._sample_cache[ck](jnp.asarray(prompt, jnp.int32),
+                                      rng_key)

@@ -137,3 +137,66 @@ class TestGenerate:
         out = lm.generate(prompt, 3, scales)
         assert out.shape == (3,)
         assert int(out.max()) < lm.vocab
+
+
+class TestSampling:
+    def _lm(self):
+        import numpy as np
+
+        from resnet_accel_tpu.models.lm import TransformerLMInt8
+        model = TransformerLMInt8.from_random(
+            seed=2, vocab=37, d_model=32, n_heads=2, n_layers=2,
+            max_len=40, sparsity=0.5)
+        rng = np.random.default_rng(5)
+        scales = model.calibrate(rng.integers(0, 37, 20))
+        return model, scales, rng
+
+    def test_temperature_zero_equals_greedy(self):
+        import jax
+        import numpy as np
+        model, scales, rng = self._lm()
+        prompt = np.asarray(rng.integers(0, 37, 6), np.int32)
+        g = np.asarray(model.generate(prompt, 8, scales, jit=False))
+        s = np.asarray(model.sample(prompt, 8, scales,
+                                    jax.random.PRNGKey(0),
+                                    temperature=0.0, jit=False))
+        np.testing.assert_array_equal(g, s)
+
+    def test_deterministic_per_key_and_key_sensitivity(self):
+        import jax
+        import numpy as np
+        model, scales, rng = self._lm()
+        prompt = np.asarray(rng.integers(0, 37, 6), np.int32)
+        a = np.asarray(model.sample(prompt, 12, scales,
+                                    jax.random.PRNGKey(7),
+                                    temperature=1.0, jit=False))
+        b = np.asarray(model.sample(prompt, 12, scales,
+                                    jax.random.PRNGKey(7),
+                                    temperature=1.0, jit=False))
+        c = np.asarray(model.sample(prompt, 12, scales,
+                                    jax.random.PRNGKey(8),
+                                    temperature=1.0, jit=False))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_top_k_restricts_support(self):
+        """With top_k=1 sampling collapses to greedy regardless of
+        temperature."""
+        import jax
+        import numpy as np
+        model, scales, rng = self._lm()
+        prompt = np.asarray(rng.integers(0, 37, 5), np.int32)
+        g = np.asarray(model.generate(prompt, 10, scales, jit=False))
+        s = np.asarray(model.sample(prompt, 10, scales,
+                                    jax.random.PRNGKey(3),
+                                    temperature=2.5, top_k=1, jit=False))
+        np.testing.assert_array_equal(g, s)
+
+    def test_length_guard(self):
+        import jax
+        import numpy as np
+        import pytest
+        model, scales, rng = self._lm()
+        prompt = np.asarray(rng.integers(0, 37, 30), np.int32)
+        with pytest.raises(ValueError, match="exceeds"):
+            model.sample(prompt, 20, scales, jax.random.PRNGKey(0))
