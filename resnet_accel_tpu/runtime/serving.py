@@ -39,6 +39,7 @@ class _Request:
     rid: int
     prompt: List[int]
     n_new: int
+    seed: int = 0                # per-request sampling stream
     fed: int = 0                 # prompt tokens consumed so far
     out: List[int] = dataclasses.field(default_factory=list)
 
@@ -62,7 +63,8 @@ class ContinuousBatcher:
     """
 
     def __init__(self, model, scales, slots: int = 4,
-                 max_len: Optional[int] = None, chunk: int = 1):
+                 max_len: Optional[int] = None, chunk: int = 1,
+                 temperature: float = 0.0, top_k: Optional[int] = None):
         if slots < 1:
             raise ValueError("slots must be >= 1")
         if chunk < 1:
@@ -71,6 +73,8 @@ class ContinuousBatcher:
         self.scales = scales
         self.slots = slots
         self.chunk = chunk
+        self.temperature = float(temperature)
+        self.top_k = top_k
         self.max_len = model.max_len if max_len is None else max_len
 
         per_slot = [model.init_caches(self.max_len)
@@ -78,11 +82,30 @@ class ContinuousBatcher:
         self.caches = jax.tree.map(
             lambda *xs: jnp.stack(xs), *per_slot)
 
+        greedy = self.temperature <= 0.0
+        temp, top_k_ = self.temperature, self.top_k
+
         def one(c, t):
             logits, c2 = model.decode_step(c, t, scales)
-            return c2, jnp.argmax(logits).astype(jnp.int32)
+            return c2, logits
 
-        def chunk_step(caches, prev, forced, mask):
+        def pick(logits, key, adv):
+            """Greedy everywhere, or (sampling mode) a categorical
+            draw on advancing slots with the SAME key chain as
+            TransformerLMInt8.sample: split once per consumed token."""
+            g = jnp.argmax(logits).astype(jnp.int32)
+            if greedy:
+                return g, key
+            k2, sub = jax.random.split(key)
+            z = logits / jnp.float32(temp)
+            if top_k_ is not None and top_k_ < z.shape[-1]:
+                kth = jax.lax.top_k(z, top_k_)[0][-1]
+                z = jnp.where(z < kth, -jnp.inf, z)
+            s = jax.random.categorical(sub, z).astype(jnp.int32)
+            return (jnp.where(adv, s, g),
+                    jnp.where(adv, k2, key))
+
+        def chunk_step(caches, prev, keys, forced, mask, advance):
             """Scan k lockstep micro-steps in ONE dispatch.
 
             ``prev`` [B]: each slot's previous output token;
@@ -90,18 +113,22 @@ class ContinuousBatcher:
             ingested (masked slots take the forced token instead of
             their feedback) — so prefill and decode mix freely inside
             a chunk and the result is identical to k single steps.
-            Returns (caches, outs [k, B]).
+            ``keys`` [B, 2]: per-slot PRNG chains; ``advance`` [k, B]
+            marks micro-steps whose output is a consumed (sampled)
+            token, so only those advance a slot's chain.
+            Returns (caches, keys, outs [k, B]).
             """
-            def body(carry, fm):
-                caches, prev = carry
-                f, m = fm
+            def body(carry, fma):
+                caches, prev, keys = carry
+                f, m, a = fma
                 toks = jnp.where(m, f, prev)
-                caches, nxt = jax.vmap(one)(caches, toks)
-                return (caches, nxt), nxt
+                caches, logits = jax.vmap(one)(caches, toks)
+                nxt, keys = jax.vmap(pick)(logits, keys, a)
+                return (caches, nxt, keys), nxt
 
-            (caches, _), outs = jax.lax.scan(
-                body, (caches, prev), (forced, mask))
-            return caches, outs
+            (caches, _, keys), outs = jax.lax.scan(
+                body, (caches, prev, keys), (forced, mask, advance))
+            return caches, keys, outs
 
         def reset_slot(caches, slot):
             # Only the position needs clearing: attention masks by
@@ -118,13 +145,18 @@ class ContinuousBatcher:
         self._active: Dict[int, _Request] = {}      # slot -> request
         self._results: Dict[int, List[int]] = {}
         self._prev = np.zeros(slots, np.int32)      # last output/slot
+        self._keys = jnp.zeros((slots, 2), jnp.uint32)
         self._next_rid = 0
         self.steps = 0                               # device dispatches
         self.micro_steps = 0                         # lockstep tokens
 
     # ------------------------------------------------------------- api
-    def submit(self, prompt: Sequence[int], n_new: int) -> int:
-        """Enqueue a request; returns its id (see results())."""
+    def submit(self, prompt: Sequence[int], n_new: int,
+               seed: int = 0) -> int:
+        """Enqueue a request; returns its id (see results()).
+        ``seed`` selects the request's sampling stream (matching
+        ``model.sample(..., jax.random.PRNGKey(seed))``); unused in
+        greedy mode."""
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         if not prompt:
             raise ValueError("empty prompt")
@@ -134,7 +166,7 @@ class ContinuousBatcher:
                 f"slot cache length ({self.max_len})")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, prompt, n_new))
+        self._queue.append(_Request(rid, prompt, n_new, seed=seed))
         return rid
 
     def step_engine(self) -> bool:
@@ -148,25 +180,33 @@ class ContinuousBatcher:
         scheduling, the standard continuous-batching granularity
         trade-off.  ``chunk=1`` is exact per-token scheduling.
         """
+        import jax as _jax
         for slot in range(self.slots):
             if slot not in self._active and self._queue:
                 self.caches = self._reset(self.caches, slot)
                 self._active[slot] = self._queue.pop(0)
                 self._prev[slot] = 0
+                self._keys = self._keys.at[slot].set(
+                    _jax.random.PRNGKey(self._active[slot].seed))
         if not self._active:
             return False
 
         k = self.chunk
         forced = np.zeros((k, self.slots), np.int32)
         mask = np.zeros((k, self.slots), bool)
+        advance = np.zeros((k, self.slots), bool)
         for slot, req in self._active.items():
             rem = req.prompt[req.fed:req.fed + k]
             forced[:len(rem), slot] = rem
             mask[:len(rem), slot] = True
+            # outputs are consumed from the last prompt step onward
+            first = max(len(req.prompt) - 1 - req.fed, 0)
+            advance[first:, slot] = True
 
-        self.caches, outs = self._chunk_step(
-            self.caches, jnp.asarray(self._prev),
-            jnp.asarray(forced), jnp.asarray(mask))
+        self.caches, self._keys, outs = self._chunk_step(
+            self.caches, jnp.asarray(self._prev), self._keys,
+            jnp.asarray(forced), jnp.asarray(mask),
+            jnp.asarray(advance))
         self.steps += 1
         self.micro_steps += k
         outs = np.asarray(outs)                      # [k, B]

@@ -94,3 +94,36 @@ def test_chunked_equals_unchunked(lm, chunk):
         assert res[rid] == _expected(model, scales, prompt, n_new), rid
     # chunking must reduce dispatches below the micro-step count
     assert b.steps < b.micro_steps
+
+
+class TestSampledServing:
+    def test_sampled_matches_per_sequence_sample(self, lm):
+        """Per-slot sampling streams must equal model.sample exactly:
+        one key split per consumed token, chained from PRNGKey(seed)."""
+        import jax
+        model, scales = lm
+        rng = np.random.default_rng(21)
+        b = ContinuousBatcher(model, scales, slots=2, chunk=3,
+                              temperature=0.9, top_k=7)
+        reqs = []
+        for seed in range(5):
+            prompt = rng.integers(0, 61, rng.integers(2, 9)).tolist()
+            n_new = int(rng.integers(3, 8))
+            reqs.append((b.submit(prompt, n_new, seed=seed),
+                         prompt, n_new, seed))
+        res = b.run()
+        for rid, prompt, n_new, seed in reqs:
+            exp = model.sample(
+                np.asarray(prompt, np.int32), n_new, scales,
+                jax.random.PRNGKey(seed), temperature=0.9, top_k=7,
+                jit=False)
+            assert res[rid] == [int(t) for t in np.asarray(exp)], rid
+
+    def test_greedy_mode_unchanged_by_seed(self, lm):
+        model, scales = lm
+        b = ContinuousBatcher(model, scales, slots=2, chunk=2)
+        r1 = b.submit([4, 5, 6], 5, seed=1)
+        r2 = b.submit([4, 5, 6], 5, seed=99)
+        res = b.run()
+        assert res[r1] == res[r2] == _expected(model, scales,
+                                               [4, 5, 6], 5)
