@@ -40,6 +40,7 @@ class _Request:
     prompt: List[int]
     n_new: int
     seed: int = 0                # per-request sampling stream
+    eos: Optional[int] = None    # stop early on this token
     fed: int = 0                 # prompt tokens consumed so far
     out: List[int] = dataclasses.field(default_factory=list)
 
@@ -49,7 +50,12 @@ class _Request:
 
     @property
     def done(self) -> bool:
-        return not self.prefilling and len(self.out) >= self.n_new
+        if self.prefilling:
+            return False
+        if len(self.out) >= self.n_new:
+            return True
+        return self.eos is not None and bool(self.out) \
+            and self.out[-1] == self.eos
 
 
 class ContinuousBatcher:
@@ -152,11 +158,12 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------- api
     def submit(self, prompt: Sequence[int], n_new: int,
-               seed: int = 0) -> int:
+               seed: int = 0, eos: Optional[int] = None) -> int:
         """Enqueue a request; returns its id (see results()).
         ``seed`` selects the request's sampling stream (matching
         ``model.sample(..., jax.random.PRNGKey(seed))``); unused in
-        greedy mode."""
+        greedy mode.  ``eos``: generation stops early once this token
+        is emitted (it is included in the result)."""
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         if not prompt:
             raise ValueError("empty prompt")
@@ -166,7 +173,8 @@ class ContinuousBatcher:
                 f"slot cache length ({self.max_len})")
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, prompt, n_new, seed=seed))
+        self._queue.append(_Request(rid, prompt, n_new, seed=seed,
+                                    eos=eos))
         return rid
 
     def step_engine(self) -> bool:

