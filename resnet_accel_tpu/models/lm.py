@@ -37,6 +37,22 @@ from resnet_accel_tpu.models.transformer import LN_EPS, TransformerBlockInt8
 Scales = List[Dict[str, float]]
 
 
+def sampled_token(logits, key, temperature: float,
+                  top_k: "Optional[int]" = None):
+    """One stochastic draw shared by ``TransformerLMInt8.sample`` and the
+    continuous batcher (runtime/serving.py): split the key, apply
+    temperature and optional top-k truncation, draw categorically.
+    Returns (next_key, token int32).  Keeping this in ONE place is what
+    makes the batcher's streams provably identical to sample()'s.
+    """
+    k2, sub = jax.random.split(key)
+    z = logits / jnp.float32(temperature)
+    if top_k is not None and top_k < z.shape[-1]:
+        kth = jax.lax.top_k(z, top_k)[0][-1]
+        z = jnp.where(z < kth, -jnp.inf, z)
+    return k2, jax.random.categorical(sub, z).astype(jnp.int32)
+
+
 def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
     """Standard fixed sinusoidal position table [max_len, d_model]."""
     pos = np.arange(max_len, dtype=np.float32)[:, None]
@@ -259,16 +275,9 @@ class TransformerLMInt8:
             raise ValueError(
                 f"prompt ({n_prompt}) + n_new ({n_new}) exceeds "
                 f"max_len ({self.max_len})")
+        if top_k is not None and top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
         greedy = temperature <= 0.0
-
-        def pick(logits, key):
-            if greedy:
-                return jnp.argmax(logits).astype(jnp.int32)
-            z = logits / jnp.float32(temperature)
-            if top_k is not None and top_k < z.shape[-1]:
-                kth = jax.lax.top_k(z, top_k)[0][-1]
-                z = jnp.where(z < kth, -jnp.inf, z)
-            return jax.random.categorical(key, z).astype(jnp.int32)
 
         def run(prompt_toks, key):
             T = prompt_toks.shape[0]
@@ -280,14 +289,20 @@ class TransformerLMInt8:
                                    blk.init_cache(self.max_len),
                                    flash=flash)
                 caches.append(c)
-            key, sub = jax.random.split(key)
-            tok = pick(self._logits(x[-1:])[0], sub)
+            first = self._logits(x[-1:])[0]
+            if greedy:
+                tok = jnp.argmax(first).astype(jnp.int32)
+            else:
+                key, tok = sampled_token(first, key, temperature, top_k)
 
             def step(carry, _):
                 caches, tok, key = carry
                 logits, caches = self.decode_step(caches, tok, scales)
-                key, sub = jax.random.split(key)
-                nxt = pick(logits, sub)
+                if greedy:
+                    nxt = jnp.argmax(logits).astype(jnp.int32)
+                else:
+                    key, nxt = sampled_token(logits, key, temperature,
+                                             top_k)
                 return (caches, nxt, key), tok
 
             (_, _, _), toks = jax.lax.scan(

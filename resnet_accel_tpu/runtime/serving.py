@@ -87,8 +87,17 @@ class ContinuousBatcher:
         self.slots = slots
         self.chunk = chunk
         self.temperature = float(temperature)
+        if top_k is not None and top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
         self.top_k = top_k
         self.max_len = model.max_len if max_len is None else max_len
+        if self.max_len > model.max_len:
+            # Positions past model.max_len would silently clamp into the
+            # last position-embedding row (decode_step's dynamic slice),
+            # corrupting outputs rather than erroring.
+            raise ValueError(
+                f"max_len {self.max_len} exceeds the model's position "
+                f"table ({model.max_len})")
 
         per_slot = [model.init_caches(self.max_len)
                     for _ in range(slots)]
@@ -102,19 +111,17 @@ class ContinuousBatcher:
             logits, c2 = model.decode_step(c, t, scales)
             return c2, logits
 
+        from resnet_accel_tpu.models.lm import sampled_token
+
         def pick(logits, key, adv):
-            """Greedy everywhere, or (sampling mode) a categorical
-            draw on advancing slots with the SAME key chain as
-            TransformerLMInt8.sample: split once per consumed token."""
+            """Greedy everywhere, or (sampling mode) the SHARED draw of
+            TransformerLMInt8.sample (models.lm.sampled_token) on
+            advancing slots — one key split per consumed token, so the
+            chain equals sample()'s exactly."""
             g = jnp.argmax(logits).astype(jnp.int32)
             if greedy:
                 return g, key
-            k2, sub = jax.random.split(key)
-            z = logits / jnp.float32(temp)
-            if top_k_ is not None and top_k_ < z.shape[-1]:
-                kth = jax.lax.top_k(z, top_k_)[0][-1]
-                z = jnp.where(z < kth, -jnp.inf, z)
-            s = jax.random.categorical(sub, z).astype(jnp.int32)
+            k2, s = sampled_token(logits, key, temp, top_k_)
             return (jnp.where(adv, s, g),
                     jnp.where(adv, k2, key))
 
@@ -195,14 +202,13 @@ class ContinuousBatcher:
         scheduling, the standard continuous-batching granularity
         trade-off.  ``chunk=1`` is exact per-token scheduling.
         """
-        import jax as _jax
         for slot in range(self.slots):
             if slot not in self._active and self._queue:
                 self.caches = self._reset(self.caches, slot)
                 self._active[slot] = self._queue.pop(0)
                 self._prev[slot] = 0
                 self._keys = self._keys.at[slot].set(
-                    _jax.random.PRNGKey(self._active[slot].seed))
+                    jax.random.PRNGKey(self._active[slot].seed))
         if not self._active:
             return False
 
@@ -243,14 +249,20 @@ class ContinuousBatcher:
         return bool(self._active or self._queue)
 
     def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
-        """Drain the queue; returns {request id: generated tokens}."""
+        """Drain the queue; returns {request id: generated tokens} for
+        every request completed since the last run(), then clears them
+        (so a long-lived engine does not accumulate results without
+        bound)."""
         for _ in range(max_steps):
             if not self.step_engine():
                 break
         else:
             raise RuntimeError(f"engine did not drain in {max_steps} "
                                "steps")
-        return dict(self._results)
+        out, self._results = self._results, {}
+        return out
 
     def results(self) -> Dict[int, List[int]]:
+        """Snapshot of completed-but-uncollected requests (cleared by
+        run())."""
         return dict(self._results)

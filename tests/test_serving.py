@@ -73,10 +73,17 @@ def test_step_accounting_and_validation(lm):
     with pytest.raises(ValueError, match="empty"):
         b.submit([], 3)
     rid = b.submit([3, 1], n_new=2)
-    b.run()
+    res = b.run()
     # 2 prompt tokens + 1 extra decode = 3 engine steps for one request
     assert b.steps == 3
-    assert len(b.results()[rid]) == 2
+    assert len(res[rid]) == 2
+    assert b.results() == {}  # run() drains collected results
+    with pytest.raises(ValueError, match="top_k"):
+        ContinuousBatcher(model, scales, slots=1, top_k=0,
+                          temperature=0.5)
+    with pytest.raises(ValueError, match="position table"):
+        ContinuousBatcher(model, scales, slots=1,
+                          max_len=model.max_len + 8)
 
 @pytest.mark.parametrize("chunk", [2, 4, 7])
 def test_chunked_equals_unchunked(lm, chunk):
@@ -141,6 +148,6 @@ def test_eos_early_stop(lm):
     assert res[rid] == want
     # without eos the same request runs to budget
     b2 = ContinuousBatcher(model, scales, slots=1, chunk=4)
-    assert b2.run() == {} or True  # empty engine no-ops
+    assert b2.run() == {}  # empty engine no-ops
     rid2 = b2.submit([9, 4, 1], 10)
     assert b2.run()[rid2] == full
