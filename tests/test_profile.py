@@ -82,5 +82,11 @@ class TestMedianPairTime:
         def slow_first(x):
             _t.sleep(0.005); return np.zeros(1)
 
+        # Degenerate measurement (chained run faster than single run):
+        # strict mode raises; default mode falls back to the raw chained
+        # time, which is always positive.
         with pytest.raises(RuntimeError, match="non-positive"):
-            median_pair_time(slow_first, fast, None, chain=16, iters=3)
+            median_pair_time(slow_first, fast, None, chain=16, iters=3,
+                             strict=True)
+        dt = median_pair_time(slow_first, fast, None, chain=16, iters=3)
+        assert dt > 0
