@@ -29,6 +29,10 @@ def cmd_infer(args):
     from resnet_accel_tpu.runtime import InferenceEngine, preprocess_mnist
 
     x = np.load(args.input)
+    if args.model != "resnet" and args.depth != 18:
+        print(f"warning: --depth {args.depth} is ignored with "
+              f"--model {args.model} (use --model resnet)",
+              file=sys.stderr)
     if args.model == "mnist":
         from resnet_accel_tpu.models.mnist_cnn import (
             MNISTCNNInt8, make_forward)
@@ -352,6 +356,11 @@ def cmd_generate(args):
     if prompt.size + args.n_new > args.max_len:
         raise SystemExit("prompt + n_new exceeds --max-len")
     t0 = _time.perf_counter()
+    if args.temperature <= 0 and (args.top_k is not None
+                                  or args.sample_seed != 0):
+        print("warning: --top-k/--sample-seed have no effect with "
+              "temperature 0 (greedy decoding); pass --temperature > 0 "
+              "to sample", file=sys.stderr)
     if args.temperature > 0:
         import jax
         toks = lm.sample(jnp.asarray(prompt), args.n_new, scales,

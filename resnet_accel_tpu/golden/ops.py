@@ -61,9 +61,10 @@ def scale_to_q16(scale: float) -> int:
     """Convert a float scale to the hardware's Q16.16 register encoding.
 
     Exactly the reference driver's conversion (sw/host/accel.py:377):
-    ``int(scale * 65536) & 0xFFFFFFFF`` — C-style truncation toward zero.
+    ``int(scale * 65536) & 0xFFFFFFFF`` — C-style truncation toward zero,
+    computed in Python float (double) precision like the reference.
     """
-    return int(np.float32(scale) * 65536.0) & 0xFFFFFFFF
+    return int(float(scale) * 65536.0) & 0xFFFFFFFF
 
 
 def q16_to_scale(q16: int) -> float:

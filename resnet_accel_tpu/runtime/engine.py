@@ -149,8 +149,21 @@ class InferenceEngine:
             bake_weights = self.backend == "tpu"
         if bake_weights:
             params = self.params
-            baked = jax.jit(lambda x: fwd(params, x))
-            self._fwd = lambda p, x: baked(x)
+
+            def _baked_fwd(p, x, _baked=jax.jit(lambda x: fwd(params, x))):
+                # Baked weights are immutable serving state: a swapped
+                # params dict would be silently ignored, so fail loudly
+                # instead (rebuild the engine to hot-swap weights).
+                if p is not params:
+                    raise AcceleratorError(
+                        AccelErrorCode.INVALID_CONFIG,
+                        "engine was built with bake_weights=True; weights "
+                        "are compiled-in constants and cannot be swapped — "
+                        "construct a new InferenceEngine (or pass "
+                        "bake_weights=False) to serve updated params")
+                return _baked(x)
+
+            self._fwd = _baked_fwd
         else:
             self._fwd = jax.jit(fwd)
         self.profiler = LayerProfiler()

@@ -125,7 +125,7 @@ class ContinuousBatcher:
             return (jnp.where(adv, s, g),
                     jnp.where(adv, k2, key))
 
-        def chunk_step(caches, prev, keys, forced, mask, advance):
+        def chunk_step(caches, prev, keys, forced, mask, advance, idle):
             """Scan k lockstep micro-steps in ONE dispatch.
 
             ``prev`` [B]: each slot's previous output token;
@@ -136,6 +136,11 @@ class ContinuousBatcher:
             ``keys`` [B, 2]: per-slot PRNG chains; ``advance`` [k, B]
             marks micro-steps whose output is a consumed (sampled)
             token, so only those advance a slot's chain.
+            ``idle`` [B]: slots with no live request — their cache
+            position is re-zeroed after the chunk so an idle slot's
+            ``len`` stays bounded by the chunk size instead of creeping
+            past max_len (its discarded K/V writes land at 0..k-1 and
+            are unreachable once a real request resets the slot).
             Returns (caches, keys, outs [k, B]).
             """
             def body(carry, fma):
@@ -148,6 +153,10 @@ class ContinuousBatcher:
 
             (caches, _, keys), outs = jax.lax.scan(
                 body, (caches, prev, keys), (forced, mask, advance))
+            caches = jax.tree.map(
+                lambda leaf: (jnp.where(idle, 0, leaf)
+                              if leaf.ndim == 1 else leaf),
+                caches)
             return caches, keys, outs
 
         def reset_slot(caches, slot):
@@ -224,10 +233,12 @@ class ContinuousBatcher:
             first = max(len(req.prompt) - 1 - req.fed, 0)
             advance[first:, slot] = True
 
+        idle = np.array([s not in self._active
+                         for s in range(self.slots)])
         self.caches, self._keys, outs = self._chunk_step(
             self.caches, jnp.asarray(self._prev), self._keys,
             jnp.asarray(forced), jnp.asarray(mask),
-            jnp.asarray(advance))
+            jnp.asarray(advance), jnp.asarray(idle))
         self.steps += 1
         self.micro_steps += k
         outs = np.asarray(outs)                      # [k, B]
