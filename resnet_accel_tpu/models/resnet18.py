@@ -357,11 +357,16 @@ def quantize_resnet18(
     small_input: bool = False,
     stages=None,
     bottleneck: bool = False,
+    calib_batch_size: Optional[int] = None,
 ) -> ResNet18Int8:
     """Fold BN, quantize per-channel INT8, calibrate activation scales.
 
-    ``calib_x``: FP32 NCHW calibration batch (quantize_resnet18.py's
-    calibrate_activations over N batches, here one representative batch).
+    ``calib_x``: FP32 NCHW calibration set.  With the default
+    ``calib_batch_size=None`` it is traced as one batch; setting a batch
+    size streams it in chunks and aggregates per-tap abs-max ranges —
+    the reference's N-batch ``calibrate_activations``
+    (sw/INT8 quantization/quantize_resnet18.py:163) — so large real
+    calibration sets fit in host memory.
     ``stages``/``bottleneck`` generalize to the deeper family
     (models/resnet.py); defaults are ResNet-18.
     """
@@ -393,17 +398,23 @@ def quantize_resnet18(
     folded["fc.bias"] = params_fp32["fc.bias"]
 
     # ---- 2. calibrate activation scales ---------------------------------
+    calib_x = np.asarray(calib_x, np.float32)
+    bs = len(calib_x) if calib_batch_size is None else int(calib_batch_size)
+    maxima: Dict[str, float] = {}
     with jax.default_device(jax.devices("cpu")[0]):
-        _, taps = _float_forward_taps(
-            folded, jnp.asarray(calib_x, jnp.float32), small_input,
-            stages=stages, bottleneck=bottleneck)
-        taps = {k: np.asarray(v) for k, v in taps.items()}
+        for i in range(0, len(calib_x), max(bs, 1)):
+            _, taps = _float_forward_taps(
+                folded, jnp.asarray(calib_x[i:i + bs], jnp.float32),
+                small_input, stages=stages, bottleneck=bottleneck)
+            for k, v in taps.items():
+                m = float(np.abs(np.asarray(v)).max())
+                maxima[k] = max(maxima.get(k, 0.0), m)
 
-    def scale_of(arr):
-        return max(float(np.abs(arr).max()) / 127.0, 1e-12)
+    def scale_from_max(m):
+        return max(float(m) / 127.0, 1e-12)
 
-    s_input = scale_of(calib_x)
-    s = {k: scale_of(v) for k, v in taps.items()}
+    s_input = scale_from_max(np.abs(calib_x).max())
+    s = {k: scale_from_max(m) for k, m in maxima.items()}
 
     # ---- 3. build quantized layers --------------------------------------
     def qconv(name, s_in, s_out, relu, in_c, k, stride, pad):

@@ -11,7 +11,11 @@ from resnet_accel_tpu.parallel.sharded import (
     make_sharded_train_step,
     make_data_parallel_forward,
 )
-from resnet_accel_tpu.parallel.pipeline import make_pipeline_forward
+from resnet_accel_tpu.parallel.pipeline import (
+    make_pipeline_forward,
+    mnist_pipeline_stages,
+    transformer_pipeline_stages,
+)
 from resnet_accel_tpu.parallel.sequence import make_sp_transformer_forward
 from resnet_accel_tpu.parallel.experts import make_ep_moe_forward
 from resnet_accel_tpu.parallel.heads import make_tp_transformer_forward
@@ -25,6 +29,8 @@ __all__ = [
     "make_sharded_train_step",
     "make_data_parallel_forward",
     "make_pipeline_forward",
+    "mnist_pipeline_stages",
+    "transformer_pipeline_stages",
     "make_sp_transformer_forward",
     "make_ep_moe_forward",
     "make_tp_transformer_forward",

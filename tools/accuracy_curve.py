@@ -1,0 +1,190 @@
+"""Real-data accuracy curve: ResNet-18 through the FULL pipeline.
+
+Reference flow being reproduced (sw/training/blocksparse_train.py:282-321
+progressive 50->90% pruning with validation gates; sw/INT8 quantization/
+quantize_resnet18.py:163 N-batch activation calibration; sparse INT8
+serving):
+
+    fp32 train -> progressive block pruning (validate each level)
+    -> per-channel INT8 PTQ with N-batch calibration
+    -> zero-skip BSR sparse INT8 serving
+
+Data: the only real image set in this environment is MNIST t10k (the
+train split's image file is absent from /root/reference/data/MNIST/raw).
+Protocol, documented in docs/ACCURACY.md: the 10k real test images are
+seed-0 shuffled and split 8,000 train / 2,000 held-out validation; every
+accuracy below is on the held-out 2,000 only.  Images are normalized,
+padded 28->32 and channel-tripled to the CIFAR-geometry ResNet-18 input.
+
+Writes docs/accuracy_curve.json and prints the markdown table for
+docs/ACCURACY.md.
+
+Run: python tools/accuracy_curve.py  (TPU or CPU; TPU ~10 min)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MNIST_RAW = "/root/reference/data/MNIST/raw"
+OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "accuracy_curve.json")
+
+MEAN, STD = 0.1307, 0.3081
+SCHEDULE = (0.5, 0.7, 0.85, 0.9)
+EPOCHS_DENSE = 6
+EPOCHS_FINETUNE = 2
+BATCH = 128
+CALIB_N = 512
+
+
+def load_split(seed: int = 0):
+    from resnet_accel_tpu.utils.mnist_data import load_mnist_split
+    imgs, labels = load_mnist_split(MNIST_RAW, "t10k")
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(imgs))
+    imgs, labels = imgs[perm], labels[perm]
+    x = (imgs.astype(np.float32) / 255.0 - MEAN) / STD
+    x = np.pad(x, ((0, 0), (2, 2), (2, 2)))          # 28 -> 32
+    x = np.repeat(x[:, None, :, :], 3, axis=1)        # 1ch -> 3ch
+    y = labels.astype(np.int32)
+    return (x[:8000], y[:8000]), (x[8000:], y[8000:])
+
+
+def eval_fp32(params, bn_state, x, y, small_input=True, batch=500):
+    import jax
+    import jax.numpy as jnp
+    from resnet_accel_tpu.train.resnet18 import resnet18_forward
+
+    @jax.jit
+    def fwd(p, s, xb):
+        logits, _ = resnet18_forward(p, s, xb, small_input, False)
+        return logits.argmax(-1)
+
+    hits = 0
+    for i in range(0, len(x), batch):
+        pred = np.asarray(fwd(params, bn_state, jnp.asarray(x[i:i + batch])))
+        hits += int((pred == y[i:i + batch]).sum())
+    return hits / len(x)
+
+
+def eval_int8(model, x, y, batch=500, use_pallas=True):
+    import jax
+    import jax.numpy as jnp
+    from resnet_accel_tpu.models.resnet18 import make_forward
+
+    params = model.as_device_params()
+    fwd = jax.jit(make_forward(model, use_pallas=use_pallas))
+    hits = 0
+    for i in range(0, len(x), batch):
+        logits = np.asarray(fwd(params, jnp.asarray(x[i:i + batch])))
+        hits += int((logits.argmax(-1) == y[i:i + batch]).sum())
+    return hits / len(x)
+
+
+def main():
+    from resnet_accel_tpu.models.resnet18 import (attach_bsr,
+                                                  quantize_resnet18)
+    from resnet_accel_tpu.train.blocksparse import (
+        DEFAULT_CONV_CFG, prune_blocks_global, make_mask_fn,
+        make_group_lasso_fn, sparsity_of_masks)
+    from resnet_accel_tpu.train.resnet18 import (
+        export_inference_params, merge_params, split_params,
+        train_resnet18)
+
+    t0 = time.time()
+    (xtr, ytr), (xva, yva) = load_split()
+    print(f"train {xtr.shape} val {xva.shape}", flush=True)
+    results = {"protocol": "MNIST t10k seed-0 split 8000 train / "
+                           "2000 held-out val; 32x32x3 inputs",
+               "schedule": list(SCHEDULE), "levels": []}
+
+    # ---- 1. dense fp32 training ----------------------------------------
+    state = train_resnet18(xtr, ytr, epochs=EPOCHS_DENSE,
+                           batch_size=BATCH, lr=0.05, seed=0,
+                           num_classes=10, small_input=True)
+    acc_fp32 = eval_fp32(state.params, state.bn_state, xva, yva)
+    print(f"fp32 dense val acc: {acc_fp32:.4f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    results["fp32_dense"] = acc_fp32
+
+    # ---- 2. progressive pruning with validation gates -------------------
+    # Conv layers prune at the serving block size; the 10-row FC stays
+    # dense (its blocks would be a single row-block).
+    params_np = {k: np.asarray(v) for k, v in state.params.items()}
+    cfgs = {k: DEFAULT_CONV_CFG for k in params_np
+            if k.endswith(".weight") and params_np[k].ndim == 4
+            and "downsample" not in k and k != "conv1.weight"}
+    shapes = {k: params_np[k].shape for k in cfgs}
+    reg_fn = make_group_lasso_fn(cfgs, 1e-4)
+
+    masks = None
+    cur = state
+    for level in SCHEDULE:
+        merged = merge_params(
+            {k: np.asarray(v) for k, v in cur.params.items()},
+            {k: np.asarray(v) for k, v in cur.bn_state.items()})
+        masks = prune_blocks_global(
+            {k: np.asarray(cur.params[k]) for k in cfgs}, level, cfgs)
+        mask_fn = make_mask_fn(masks, cfgs, shapes)
+        cur = train_resnet18(
+            xtr, ytr, epochs=EPOCHS_FINETUNE, batch_size=BATCH,
+            lr=0.01, seed=1, num_classes=10, small_input=True,
+            mask_fn=mask_fn, reg_fn=reg_fn, init=merged)
+        # re-apply after the last step (train applies per step already,
+        # but be explicit for the exported weights)
+        cur.params.update(
+            {k: v for k, v in mask_fn(cur.params).items()})
+        eff = sparsity_of_masks(masks)
+        acc = eval_fp32(cur.params, cur.bn_state, xva, yva)
+        print(f"pruned @{level:.0%} (effective {eff:.1%} of pruned "
+              f"layers) val acc: {acc:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        results["levels"].append(
+            {"target": level, "effective_block_sparsity": eff,
+             "fp32_val_acc": acc})
+
+    # ---- 3. PTQ with N-batch calibration --------------------------------
+    flat = export_inference_params(cur)
+    model = quantize_resnet18(flat, xtr[:CALIB_N], num_classes=10,
+                              small_input=True,
+                              calib_batch_size=128)
+    acc_int8 = eval_int8(model, xva, yva)
+    print(f"INT8 dense (PTQ, {CALIB_N}-img/{128}-batch calibration) "
+          f"val acc: {acc_int8:.4f}", flush=True)
+    results["int8_dense"] = acc_int8
+    results["int8_delta_vs_fp32"] = acc_int8 - results["levels"][-1][
+        "fp32_val_acc"]
+
+    # ---- 4. sparse INT8 serving (zero-skip BSR) -------------------------
+    sparse = attach_bsr(model, block=32, min_sparsity=0.25)
+    n_sparse = sum(1 for _, qc in sparse.named_convs()
+                   if qc.bsr is not None)
+    acc_sparse = eval_int8(sparse, xva, yva)
+    print(f"INT8 sparse serving ({n_sparse} BSR layers) val acc: "
+          f"{acc_sparse:.4f}", flush=True)
+    results["int8_sparse"] = acc_sparse
+    results["bsr_layers"] = n_sparse
+
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\nwrote {OUT_JSON}  ({time.time() - t0:.0f}s total)")
+
+    # markdown table for docs/ACCURACY.md
+    print("\n| stage | val accuracy |")
+    print("|---|---|")
+    print(f"| fp32 dense | {acc_fp32:.2%} |")
+    for lv in results["levels"]:
+        print(f"| fp32 pruned @{lv['target']:.0%} "
+              f"| {lv['fp32_val_acc']:.2%} |")
+    print(f"| INT8 dense (PTQ) | {acc_int8:.2%} |")
+    print(f"| INT8 sparse (BSR serving) | {acc_sparse:.2%} |")
+
+
+if __name__ == "__main__":
+    main()
