@@ -54,6 +54,8 @@ from resnet_accel_tpu.ops.pooling import (
     avgpool_global_int8_nhwc,
     maxpool2d_int8_nhwc,
 )
+from resnet_accel_tpu.ops.stem_pack import quantize_s2d_wh, transpose_taps
+from resnet_accel_tpu.runtime import backend as backend_mod
 from resnet_accel_tpu.ops.bsr_matmul import (
     KernelBSR,
     bsr_matmul_wt,
@@ -578,7 +580,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  backend: Optional[str] = None,
                  conv_method: str = "native",
                  layout: str = "NCHW",
-                 stem_s2d: bool = True):
+                 stem_s2d: bool = True,
+                 stem_wh: Optional[bool] = None):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -604,23 +607,47 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                and model.stem.kernel == 7 and model.stem.stride == 2
                and model.stem.padding == 3)
 
-    def run_stem_s2d(params, qc: QConv, x):
+    # WH pipeline: the fused quantize+s2d Pallas kernel emits the s2d
+    # planes with TRANSPOSED spatial axes (ops.stem_pack._kernel_wh's
+    # sublane-bitcast parity split — one HBM pass instead of XLA's
+    # quantize fusion + two serial layout copies, ~330 us -> ~130 us at
+    # batch 128).  Every op after the stem is spatially symmetric, so
+    # the whole trunk runs on (W, H) arrays with each conv's taps
+    # transposed — logits bit-identical (tested vs the standard path).
+    # Sparse (BSR) layers pack their K-order from the untransposed taps,
+    # so any attached BSR disables the WH route.  ``stem_wh=None`` auto-
+    # enables on the TPU backend (on CPU the kernel's interpret fallback
+    # is the plain composition — correct but no faster, so default off
+    # there; tests force it on to cover the WH trunk hermetically).
+    if stem_wh is None:
+        stem_wh = backend_mod.resolve_backend(backend) == "tpu"
+    use_wh = (use_s2d and stem_wh
+              and not any(qc.bsr is not None
+                          for _, qc in model.named_convs()))
+    interp = backend_mod.interpret_mode(backend)
+
+    def run_stem_s2d(params, qc: QConv, x, wh: bool):
         with jax.named_scope("stem"):
-            w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
+            if wh:
+                s = quantize_s2d_wh(x, model.s_input,
+                                    interpret=interp)   # fp32 in
+                w = transpose_taps(
+                    stem_s2d_weights(params["stem.w"], qc.in_channels, 7),
+                    4 * qc.in_channels, 4)
+            else:
+                s = space_to_depth_nchw(x)              # int8 in
+                w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
             return conv2d_int8(
-                space_to_depth_nchw(x), w, bias=params["stem.b"],
+                s, w, bias=params["stem.b"],
                 kernel=4, stride=1, padding=((2, 1), (2, 1)),
                 factors=params["stem.f"], relu=qc.relu,
                 use_pallas=use_pallas, backend=backend, method="native")
 
-    def run_conv(params, prefix, qc: QConv, x):
-        if prefix == "stem" and use_s2d and x.shape[2] % 2 == 0 \
-                and x.shape[3] % 2 == 0:
-            return run_stem_s2d(params, qc, x)
+    def run_conv(params, prefix, qc: QConv, x, wh: bool = False):
         with jax.named_scope(prefix):
-            return _run_conv(params, prefix, qc, x)
+            return _run_conv(params, prefix, qc, x, wh)
 
-    def _run_conv(params, prefix, qc: QConv, x):
+    def _run_conv(params, prefix, qc: QConv, x, wh: bool = False):
         if qc.bsr is not None and use_pallas:
             # Sparse layer: im2col -> zero-skip BSR GEMM with the fused
             # bias/ReLU/requant epilogue.
@@ -642,25 +669,35 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                 backend=backend)
             out = out.reshape(N, H_out, W_out, -1)
             return out.transpose(0, 3, 1, 2)
+        w2d = params[f"{prefix}.w"]
+        if wh and qc.kernel > 1:
+            w2d = transpose_taps(w2d, qc.in_channels, qc.kernel)
         return conv2d_int8(
-            x, params[f"{prefix}.w"], bias=params[f"{prefix}.b"],
+            x, w2d, bias=params[f"{prefix}.b"],
             kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
             factors=params[f"{prefix}.f"], relu=qc.relu,
             use_pallas=use_pallas, backend=backend, method=conv_method)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        a = x if x.dtype == jnp.int8 \
-            else quantize_input(x, model.s_input)
-        a = run_conv(params, "stem", model.stem, a)
+        s2d_ok = use_s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+        wh = use_wh and s2d_ok and x.dtype != jnp.int8
+        if wh:
+            # quantize fuses into the s2d kernel: fp32 straight in
+            a = run_stem_s2d(params, model.stem, x, True)
+        else:
+            a = x if x.dtype == jnp.int8 \
+                else quantize_input(x, model.s_input)
+            a = run_stem_s2d(params, model.stem, a, False) if s2d_ok \
+                else run_conv(params, "stem", model.stem, a)
         if not model.small_input:
             with jax.named_scope("stem.pool"):
                 a = maxpool2d_int8(a, 3, 2, padding=1)
         for i, blk in enumerate(model.blocks):
-            y = run_conv(params, f"b{i}.c1", blk.conv1, a)
-            y = run_conv(params, f"b{i}.c2", blk.conv2, y)
+            y = run_conv(params, f"b{i}.c1", blk.conv1, a, wh)
+            y = run_conv(params, f"b{i}.c2", blk.conv2, y, wh)
             if isinstance(blk, QBottleneck):
-                y = run_conv(params, f"b{i}.c3", blk.conv3, y)
-            r = run_conv(params, f"b{i}.ds", blk.downsample, a) \
+                y = run_conv(params, f"b{i}.c3", blk.conv3, y, wh)
+            r = run_conv(params, f"b{i}.ds", blk.downsample, a, wh) \
                 if blk.downsample is not None else a
             with jax.named_scope(f"b{i}.add"):
                 a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,

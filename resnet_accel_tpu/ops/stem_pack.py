@@ -4,16 +4,18 @@ The ImageNet stem front (fp32 input -> int8 -> 2x2 space-to-depth) is
 pure data movement, but XLA lowers it as three serial passes — a
 quantize fusion, a layout copy, and the s2d transpose copy — ~330 us at
 batch 128 where the HBM roofline is ~120 us (read 77 MB fp32, write
-19 MB int8).  This kernel does all of it in one pass: each grid step
-reads one (image, channel) plane [224, 224] fp32, quantizes in-VMEM
-(rint + clip, exactly ops.epilogue.quantize_input / the reference's
-symmetric formula, sw/INT8 quantization/quantize.py:55), splits the
-2x2 pixel parities with strided lane/sublane slices, and writes the
-four [112, 112] int8 parity planes.
+19 MB int8).  quantize_s2d_wh does all of it in one pass: each grid
+step reads one (image, channel) plane [224, 224] fp32, quantizes
+in-VMEM (rint + clip, exactly ops.epilogue.quantize_input / the
+reference's symmetric formula, sw/INT8 quantization/quantize.py:55),
+splits the 2x2 pixel parities with sublane bitcasts + one transpose
+(see _kernel_wh — Mosaic cannot lower lane-strided slices), and writes
+the four [112, 112] int8 parity planes in (W, H)-transposed order.
 
 Output channel order is (c, row-parity, col-parity) — identical to
 ops.conv.space_to_depth_nchw, so stem_s2d_weights pairs with it
-unchanged and the composition is bit-exact (tested).
+unchanged (modulo the tap transpose, transpose_taps) and the
+composition is bit-exact (tested).
 """
 
 from __future__ import annotations
@@ -26,39 +28,89 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, out_ref, *, inv_scale: float):
+def _kernel_wh(x_ref, out_ref, *, scale: float):
+    """Parity split without strided slices (Mosaic lowers those to an
+    unsupported gather): bitcast packs SUBLANE pairs, so one int8->int16
+    bitcast captures row parity in the two bytes, a transpose moves
+    columns onto sublanes, and a second bitcast to int32 packs the full
+    2x2 pixel cell per element; the four parities are byte extractions.
+    The output spatial axes come out transposed (W', H') — free for the
+    consumer, see quantize_s2d_wh.
+
+    Quantize DIVIDES by scale (not multiply-by-reciprocal): rint ties
+    sit 1 ulp apart between the two forms, and bit-exactness with
+    ops.epilogue.quantize_input is the contract."""
     x = x_ref[0, 0]                                   # [H, W] fp32
-    q = jnp.rint(x * jnp.float32(inv_scale))
+    q = jnp.rint(x / jnp.float32(scale))
     q = jnp.clip(q, -128, 127).astype(jnp.int8)       # [H, W] int8
+    v16 = pltpu.bitcast(q, jnp.int16)                 # [H/2, W] row pairs
+    v32 = pltpu.bitcast(v16.T, jnp.int32)             # [W/2, H/2] 2x2 cell
     for rp in range(2):
         for cp in range(2):
-            out_ref[0, rp * 2 + cp] = q[rp::2, cp::2]
+            out_ref[0, rp * 2 + cp] = jnp.right_shift(
+                v32, 8 * (2 * cp + rp)).astype(jnp.int8)
+
+
+def quantize_s2d_nchw(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Reference composition: [N, C, H, W] fp32 -> [N, C*4, H/2, W/2]
+    int8 via quantize_input + space_to_depth_nchw (XLA ops — the
+    semantic baseline quantize_s2d_wh is tested against; a direct
+    NCHW-output Pallas kernel is not expressible, lane-strided parity
+    slices lower to an unsupported gather)."""
+    from resnet_accel_tpu.ops.conv import space_to_depth_nchw
+    from resnet_accel_tpu.ops.epilogue import quantize_input
+    return space_to_depth_nchw(quantize_input(x, scale))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def quantize_s2d_nchw(x: jnp.ndarray, scale: float,
-                      interpret: bool = False) -> jnp.ndarray:
-    """[N, C, H, W] fp32 -> [N, C*4, H/2, W/2] int8 in one fused pass.
+def quantize_s2d_wh(x: jnp.ndarray, scale: float,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[N, C, H, W] fp32 -> [N, C*4, W/2, H/2] int8: fused quantize +
+    2x2 space-to-depth with TRANSPOSED spatial axes, in one HBM pass.
 
     Bit-exact equal to
-    ``space_to_depth_nchw(quantize_input(x, scale))``; H and W must be
-    even.  ``scale`` is the static input quantization scale (it is a
-    model constant, so baking it specializes the program exactly like
-    the fused XLA path).
+    ``space_to_depth_nchw(quantize_input(x, scale)).swapaxes(2, 3)``.
+
+    The (W', H') spatial order is the fast formulation: the parity split
+    runs entirely on sublane bitcasts plus one in-VMEM transpose (see
+    _kernel_wh) instead of XLA's two serial HBM layout copies.  Every
+    op in the ResNet trunk after the stem is spatially symmetric, so a
+    consumer runs on (W, H) arrays bit-exactly by transposing each
+    conv's taps (models.resnet18.make_forward does this) — the network
+    output is unchanged.
+
+    In interpret mode (CPU backend) the identical arithmetic runs as
+    plain XLA ops instead (the kernel's bitcasts are TPU-layout tricks
+    with no interpreter value).
     """
     N, C, H, W = x.shape
     if H % 2 or W % 2:
         raise ValueError(f"H, W must be even for 2x2 s2d, got {H}x{W}")
-    kern = functools.partial(_kernel, inv_scale=1.0 / float(scale))
+    if interpret:
+        from resnet_accel_tpu.ops.conv import space_to_depth_nchw
+        from resnet_accel_tpu.ops.epilogue import quantize_input
+        return space_to_depth_nchw(
+            quantize_input(x, scale)).swapaxes(2, 3)
+    kern = functools.partial(_kernel_wh, scale=float(scale))
     return pl.pallas_call(
         kern,
         grid=(N, C),
         in_specs=[pl.BlockSpec((1, 1, H, W), lambda n, c: (n, c, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 4, H // 2, W // 2),
+        out_specs=pl.BlockSpec((1, 4, W // 2, H // 2),
                                lambda n, c: (n, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 4 * C, H // 2, W // 2),
+        out_shape=jax.ShapeDtypeStruct((N, 4 * C, W // 2, H // 2),
                                        jnp.int8),
         interpret=interpret,
     )(x)
+
+
+def transpose_taps(w2d: jnp.ndarray, in_c: int, kernel: int):
+    """Swap a flattened conv weight's kh/kw taps: [O, C*k*k] with
+    (c, kh, kw) K-order -> (c, kw, kh).  Convolving a spatially
+    transposed (W, H) activation with tap-transposed weights equals the
+    transposed original conv — the identity the WH pipeline rests on."""
+    O = w2d.shape[0]
+    w4 = jnp.asarray(w2d).reshape(O, in_c, kernel, kernel)
+    return w4.swapaxes(2, 3).reshape(O, -1)

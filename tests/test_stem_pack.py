@@ -1,0 +1,103 @@
+"""Fused quantize+s2d kernel and the WH (transposed-spatial) trunk.
+
+The WH pipeline's contract: quantize_s2d_wh == transposed reference
+composition, and the full ResNet-18 forward with stem_wh=True produces
+bit-identical logits to the standard path (spatial symmetry + tap
+transposes).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from resnet_accel_tpu.ops.conv import space_to_depth_nchw
+from resnet_accel_tpu.ops.epilogue import quantize_input
+from resnet_accel_tpu.ops.stem_pack import (quantize_s2d_nchw,
+                                            quantize_s2d_wh,
+                                            transpose_taps)
+
+
+class TestQuantizeS2d:
+    def test_wh_matches_reference_composition(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 12, 16))
+                        .astype(np.float32))
+        got = quantize_s2d_wh(x, 0.05, interpret=True)
+        exp = space_to_depth_nchw(
+            quantize_input(x, 0.05)).swapaxes(2, 3)
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_nchw_composition(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 1, (1, 3, 8, 8))
+                        .astype(np.float32))
+        got = quantize_s2d_nchw(x, 0.1)
+        exp = space_to_depth_nchw(quantize_input(x, 0.1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_rejects_odd_spatial(self):
+        x = jnp.zeros((1, 3, 7, 8), jnp.float32)
+        with pytest.raises(ValueError, match="even"):
+            quantize_s2d_wh(x, 0.1, interpret=True)
+
+    def test_quantize_ties_match(self):
+        # rint ties: x/scale and x*(1/scale) can differ by 1 ulp; the
+        # contract is division (quantize_input).  0.15/0.1 is such a
+        # value in fp32.
+        x = jnp.full((1, 1, 2, 2), 0.15, jnp.float32)
+        got = quantize_s2d_wh(x, 0.1, interpret=True)
+        exp = quantize_input(x, 0.1)
+        assert int(np.asarray(got).ravel()[0]) == \
+            int(np.asarray(exp).ravel()[0])
+
+
+class TestTransposeTaps:
+    def test_roundtrip_and_order(self):
+        rng = np.random.default_rng(2)
+        w = rng.integers(-128, 128, (8, 3 * 9), dtype=np.int64) \
+            .astype(np.int8)
+        t = np.asarray(transpose_taps(jnp.asarray(w), 3, 3))
+        back = np.asarray(transpose_taps(jnp.asarray(t), 3, 3))
+        np.testing.assert_array_equal(back, w)
+        w4 = w.reshape(8, 3, 3, 3)
+        np.testing.assert_array_equal(
+            t.reshape(8, 3, 3, 3), w4.swapaxes(2, 3))
+
+
+class TestWHForwardBitExact:
+    def test_resnet18_wh_matches_standard(self):
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward)
+        rng = np.random.default_rng(3)
+        fp32 = init_resnet18_fp32(seed=0, num_classes=10,
+                                  small_input=False)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(fp32, calib, 10, small_input=False)
+        params = model.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32))
+                        .astype(np.float32))
+        std = make_forward(model, use_pallas=False, backend="cpu",
+                           stem_wh=False)(params, x)
+        wh = make_forward(model, use_pallas=False, backend="cpu",
+                          stem_wh=True)(params, x)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(wh))
+
+    def test_resnet50_wh_matches_standard(self):
+        # bottleneck blocks (1x1 convs skip the tap transpose)
+        from resnet_accel_tpu.models.resnet import (init_resnet_fp32,
+                                                    quantize_resnet)
+        from resnet_accel_tpu.models.resnet18 import make_forward
+        rng = np.random.default_rng(4)
+        fp32 = init_resnet_fp32(50, seed=0, num_classes=10,
+                                small_input=False)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet(fp32, calib, 50, 10, small_input=False)
+        params = model.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32))
+                        .astype(np.float32))
+        std = make_forward(model, use_pallas=False, backend="cpu",
+                           stem_wh=False)(params, x)
+        wh = make_forward(model, use_pallas=False, backend="cpu",
+                          stem_wh=True)(params, x)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(wh))

@@ -114,12 +114,22 @@ def main():
     results["fp32_dense"] = acc_fp32
 
     # ---- 2. progressive pruning with validation gates -------------------
-    # Conv layers prune at the serving block size; the 10-row FC stays
-    # dense (its blocks would be a single row-block).
+    # Per-layer block configs (the reference's layer_block_cfg idea,
+    # blocksparse_train.py:52): big layers prune at the MXU-native
+    # 128x128 serving block so attach_bsr gets real zero-skip tiles;
+    # small early layers prune at 32x32 (they serve dense — their
+    # GEMMs are too small for 128-blocks to be meaningful).  The 10-row
+    # FC stays dense.
+    from resnet_accel_tpu.train.blocksparse import BlockCfg
     params_np = {k: np.asarray(v) for k, v in state.params.items()}
-    cfgs = {k: DEFAULT_CONV_CFG for k in params_np
-            if k.endswith(".weight") and params_np[k].ndim == 4
-            and "downsample" not in k and k != "conv1.weight"}
+    cfgs = {}
+    for k in params_np:
+        if not (k.endswith(".weight") and params_np[k].ndim == 4
+                and "downsample" not in k and k != "conv1.weight"):
+            continue
+        out_c = params_np[k].shape[0]
+        cfgs[k] = (BlockCfg(128, 128, 0.05) if out_c >= 256
+                   else DEFAULT_CONV_CFG)
     shapes = {k: params_np[k].shape for k in cfgs}
     reg_fn = make_group_lasso_fn(cfgs, 1e-4)
 
@@ -162,7 +172,7 @@ def main():
         "fp32_val_acc"]
 
     # ---- 4. sparse INT8 serving (zero-skip BSR) -------------------------
-    sparse = attach_bsr(model, block=32, min_sparsity=0.25)
+    sparse = attach_bsr(model, block=128, min_sparsity=0.25)
     n_sparse = sum(1 for _, qc in sparse.named_convs()
                    if qc.bsr is not None)
     acc_sparse = eval_int8(sparse, xva, yva)
