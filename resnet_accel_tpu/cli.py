@@ -88,6 +88,17 @@ def cmd_bench(args):
     for n in sizes:
         M = args.batch if args.batch > 0 else 512
         base_dt = None
+        # numpy int32 CPU baseline, one dense GEMM per size — the
+        # reference sweep's reference point (benchmark_sparse.py:
+        # 127-217 times accel vs numpy int32 matmul on the host).
+        cpu_dt = None
+        if not args.no_cpu_baseline:
+            import time as _time
+            Wc = rng.integers(-128, 128, (n, n)).astype(np.int32)
+            Ac = rng.integers(-128, 128, (M, n)).astype(np.int32)
+            t0 = _time.perf_counter()
+            _ = Ac @ Wc.T
+            cpu_dt = _time.perf_counter() - t0
         for sp in sparsities:
             W = rng.integers(-128, 128, (n, n)).astype(np.int8)
             nb = n // 128
@@ -107,12 +118,15 @@ def cmd_bench(args):
                 outer=args.iters, chain=24)
             if sp == sparsities[0]:
                 base_dt = dt
-            rows.append({
+            row = {
                 "M": M, "N": n, "K": n, "sparsity": sp,
                 "latency_us": round(dt * 1e6, 1),
                 "gops": round(2 * M * kb.nnz * 128 * 128 / dt / 1e9, 1),
                 "speedup_vs_dense": round(base_dt / dt, 2),
-            })
+            }
+            if cpu_dt is not None:
+                row["speedup_vs_cpu"] = round(cpu_dt / dt, 1)
+            rows.append(row)
             print(rows[-1])
     if args.output:
         with open(args.output, "w") as f:
@@ -448,6 +462,10 @@ def build_parser():
              "to match the reference's batch-1 FC1 measurement)")
     pb.add_argument("--iters", type=int, default=5)
     pb.add_argument("--output", default=None)
+    pb.add_argument(
+        "--no-cpu-baseline", action="store_true",
+        help="skip the numpy int32 CPU baseline column "
+             "(benchmark_sparse.py's speedup reference)")
     pb.add_argument(
         "--chain", type=int, default=256,
         help="chained calls per timed dispatch in --artifact mode")

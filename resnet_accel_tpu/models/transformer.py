@@ -173,6 +173,58 @@ class TransformerBlockInt8:
             "len": jnp.int32(0),
         }
 
+    # Shared decode pieces: decode_step (contiguous cache) and the
+    # paged engine (runtime.paged, block-table K/V) call the SAME
+    # projection/attention code so the two paths cannot drift.
+
+    def _ln(self, v, gamma, beta):
+        mu = v.mean(axis=-1, keepdims=True)
+        var = v.var(axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
+            * jnp.asarray(gamma) + jnp.asarray(beta)
+
+    def _proj(self, p, v, s):
+        q = jnp.clip(jnp.rint(v / jnp.float32(s)), -128,
+                     127).astype(jnp.int8)
+        return p.project(q, jnp.float32(s))
+
+    def qkv_project(self, x_t: jnp.ndarray, scales: Dict[str, float]):
+        """LN1 + Q/K/V projections for one token [1, d_model] ->
+        three [1, d_model]."""
+        h = self._ln(x_t, self.ln1_g, self.ln1_b)
+        return (self._proj(self.wq, h, scales["h1"]),
+                self._proj(self.wk, h, scales["h1"]),
+                self._proj(self.wv, h, scales["h1"]))
+
+    def attend_mlp(self, x_t: jnp.ndarray, q_t: jnp.ndarray,
+                   k_all: jnp.ndarray, v_all: jnp.ndarray, pos,
+                   scales: Dict[str, float]) -> jnp.ndarray:
+        """Causal attention over a K/V view (positions > ``pos``
+        masked) + output projection + MLP.  ``k_all``/``v_all``:
+        [L, d_model] — a contiguous cache or a gathered page view;
+        position ``pos`` must already hold this token's K/V."""
+        D, H = self.d_model, self.n_heads
+        dh = D // H
+        qh = q_t.reshape(1, H, dh).transpose(1, 0, 2)       # [H,1,dh]
+        kh = k_all.reshape(-1, H, dh).transpose(1, 0, 2)    # [H,L,dh]
+        vh = v_all.reshape(-1, H, dh).transpose(1, 0, 2)
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :] / jnp.sqrt(
+            jnp.float32(dh))                                 # [H, L]
+        L = k_all.shape[0]
+        mask = jnp.arange(L) <= pos
+        logits = jnp.where(mask[None, :], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hs,hsd->hd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.reshape(1, D)
+        x_t = x_t + self._proj(self.wo, ctx, scales["ctx"])
+
+        h = self._ln(x_t, self.ln2_g, self.ln2_b)
+        m = jax.nn.gelu(self._proj(self.w1, h, scales["h2"]))
+        return x_t + self._proj(self.w2, m, scales["mlp"])
+
     def decode_step(self, cache, x_t: jnp.ndarray,
                     scales: Dict[str, float]):
         """One-token causal decode with the KV cache.
@@ -182,54 +234,15 @@ class TransformerBlockInt8:
         identical to the full causal forward run with the same scales).
         Returns (y_t [1, d_model], updated cache).
         """
-        D = self.d_model
-        H = self.n_heads
-        dh = D // H
-
-        def ln(v, gamma, beta):
-            mu = v.mean(axis=-1, keepdims=True)
-            var = v.var(axis=-1, keepdims=True)
-            return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
-                * jnp.asarray(gamma) + jnp.asarray(beta)
-
-        def q_static(v, s):
-            q = jnp.clip(jnp.rint(v / jnp.float32(s)), -128,
-                         127).astype(jnp.int8)
-            return q, jnp.float32(s)
-
-        def proj(p, v, s):
-            q, sc = q_static(v, s)
-            return p.project(q, sc)
-
-        h = ln(x_t, self.ln1_g, self.ln1_b)
-        q_t = proj(self.wq, h, scales["h1"])          # [1, D]
-        k_t = proj(self.wk, h, scales["h1"])
-        v_t = proj(self.wv, h, scales["h1"])
+        q_t, k_t, v_t = self.qkv_project(x_t, scales)
 
         pos = cache["len"]
         k_all = jax.lax.dynamic_update_slice(cache["k"], k_t, (pos, 0))
         v_all = jax.lax.dynamic_update_slice(cache["v"], v_t, (pos, 0))
         cache = {"k": k_all, "v": v_all, "len": pos + 1}
 
-        qh = q_t.reshape(1, H, dh).transpose(1, 0, 2)       # [H,1,dh]
-        kh = k_all.reshape(-1, H, dh).transpose(1, 0, 2)    # [H,L,dh]
-        vh = v_all.reshape(-1, H, dh).transpose(1, 0, 2)
-        logits = jnp.einsum(
-            "htd,hsd->hts", qh, kh,
-            precision=jax.lax.Precision.HIGHEST)[:, 0, :] / jnp.sqrt(
-            jnp.float32(dh))                                 # [H, L]
-        L = cache["k"].shape[0]
-        mask = jnp.arange(L) <= pos
-        logits = jnp.where(mask[None, :], logits, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("hs,hsd->hd", attn, vh,
-                         precision=jax.lax.Precision.HIGHEST)
-        ctx = ctx.reshape(1, D)
-        x_t = x_t + proj(self.wo, ctx, scales["ctx"])
-
-        h = ln(x_t, self.ln2_g, self.ln2_b)
-        m = jax.nn.gelu(proj(self.w1, h, scales["h2"]))
-        return x_t + proj(self.w2, m, scales["mlp"]), cache
+        y = self.attend_mlp(x_t, q_t, k_all, v_all, pos, scales)
+        return y, cache
 
     # --------------------------------------------------------------- jax
     def __call__(self, x: jnp.ndarray, causal: bool = False,

@@ -16,6 +16,7 @@ from resnet_accel_tpu.runtime.engine import (
     softmax,
     top_k,
 )
+from resnet_accel_tpu.runtime.paged import PagedKVBatcher
 from resnet_accel_tpu.runtime.serving import ContinuousBatcher
 from resnet_accel_tpu.runtime.perf import (
     PerfMetrics,
@@ -29,6 +30,7 @@ from resnet_accel_tpu.runtime.perf import (
 
 __all__ = [
     "ContinuousBatcher",
+    "PagedKVBatcher",
     "resolve_backend",
     "interpret_mode",
     "default_device",

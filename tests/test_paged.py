@@ -1,0 +1,123 @@
+"""Paged-KV serving engine: equality with generate/sample streams and
+the fixed-slot engine, page-pool admission control, and slot/page reuse.
+"""
+
+import numpy as np
+import pytest
+
+from resnet_accel_tpu.models.lm import TransformerLMInt8
+from resnet_accel_tpu.runtime.paged import PagedKVBatcher
+from resnet_accel_tpu.runtime.serving import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def lm():
+    model = TransformerLMInt8.from_random(
+        seed=0, vocab=61, d_model=64, n_heads=4, n_layers=2,
+        max_len=48, sparsity=0.5)
+    rng = np.random.default_rng(1)
+    scales = model.calibrate(rng.integers(0, 61, 24))
+    return model, scales
+
+
+def _expected(model, scales, prompt, n_new):
+    out = model.generate(np.asarray(prompt, np.int32), n_new, scales,
+                         jit=True, parallel_prefill=True)
+    return [int(t) for t in np.asarray(out)]
+
+
+def test_single_request_matches_generate(lm):
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=8)
+    rid = b.submit([5, 9, 2, 44], n_new=6)
+    res = b.run()
+    assert res[rid] == _expected(model, scales, [5, 9, 2, 44], 6)
+
+
+def test_interleaved_matches_generate_and_fixed_engine(lm):
+    model, scales = lm
+    rng = np.random.default_rng(3)
+    reqs = [(rng.integers(0, 61, rng.integers(2, 9)).tolist(),
+             int(rng.integers(3, 8))) for _ in range(5)]
+    pb = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=9)
+    cb = ContinuousBatcher(model, scales, slots=2)
+    prids = [pb.submit(p, n) for p, n in reqs]
+    crids = [cb.submit(p, n) for p, n in reqs]
+    pres, cres = pb.run(), cb.run()
+    for (p, n), pr, cr in zip(reqs, prids, crids):
+        exp = _expected(model, scales, p, n)
+        assert pres[pr] == exp, (p, n)
+        assert cres[cr] == exp, (p, n)
+
+
+def test_sampled_streams_match_sample(lm):
+    import jax
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=9,
+                       temperature=0.8, top_k=12)
+    prompts = {b.submit([3, 1, 4], 5, seed=7): ([3, 1, 4], 5, 7),
+               b.submit([9, 9], 4, seed=11): ([9, 9], 4, 11)}
+    res = b.run()
+    for rid, (prompt, n_new, seed) in prompts.items():
+        exp = model.sample(np.asarray(prompt, np.int32), n_new, scales,
+                           jax.random.PRNGKey(seed), temperature=0.8,
+                           top_k=12)
+        assert res[rid] == [int(t) for t in np.asarray(exp)], rid
+
+
+def test_page_admission_control(lm):
+    """With a pool too small for two concurrent requests, the second
+    queues until the first completes and releases its pages."""
+    model, scales = lm
+    # each request needs 2 pages (page=8, prompt 3 + n_new 5 = 8 -> 1
+    # page, use longer): prompt 6 + 6 = 12 -> 2 pages; pool has 3
+    # allocatable -> only one such request fits at a time.
+    b = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=4)
+    r1 = b.submit([1, 2, 3, 4, 5, 6], n_new=6)
+    r2 = b.submit([6, 5, 4, 3, 2, 1], n_new=6)
+    assert b.free_pages() == 3
+    b.step_engine()
+    # r1 admitted (2 pages), r2 must wait (needs 2, only 1 free)
+    assert len(b._active) == 1
+    res = b.run()
+    assert b.free_pages() == 3          # all pages returned
+    assert res[r1] == _expected(model, scales, [1, 2, 3, 4, 5, 6], 6)
+    assert res[r2] == _expected(model, scales, [6, 5, 4, 3, 2, 1], 6)
+
+
+def test_oversubscription_capacity(lm):
+    """Block-table capacity (max_len) is NOT a memory commitment: a
+    2-slot engine whose pool holds far fewer pages than
+    slots*max_pages still serves requests of very different lengths."""
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=2, page=4, pool_pages=9,
+                       max_pages=10)          # capacity 40 > pool 32
+    assert b.max_len == 40
+    long_p = list(range(1, 13))               # 12 + 8 = 20 -> 5 pages
+    short_p = [2, 3]                          # 2 + 2 = 4 -> 1 page
+    r1 = b.submit(long_p, n_new=8)
+    r2 = b.submit(short_p, n_new=2)
+    res = b.run()
+    assert res[r1] == _expected(model, scales, long_p, 8)
+    assert res[r2] == _expected(model, scales, short_p, 2)
+
+
+def test_rejects_never_admissible(lm):
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=1, page=4, pool_pages=3,
+                       max_pages=10)
+    with pytest.raises(ValueError, match="never"):
+        b.submit(list(range(1, 20)), n_new=10)
+
+
+def test_eos_early_stop(lm):
+    model, scales = lm
+    full = _expected(model, scales, [5, 9, 2, 44], 8)
+    eos = full[2]
+    b = PagedKVBatcher(model, scales, slots=1, page=8, pool_pages=4)
+    rid = b.submit([5, 9, 2, 44], n_new=8, eos=eos)
+    res = b.run()
+    # contract: stop at the FIRST emitted eos, inclusive
+    cut = full.index(eos) + 1
+    assert res[rid] == full[:cut]
+    assert res[rid][-1] == eos and len(res[rid]) < len(full)

@@ -1,0 +1,193 @@
+"""LM quality anchor on real text: fp32 vs INT8-sparse bits/byte.
+
+The synthetic-language test (train/lm.py's cyclic task) checks the
+pipeline end to end; this measures the thing the reference's accuracy
+tables measure — quality ON REAL DATA — for the transformer family:
+
+    real text -> fp32 byte-LM training -> block pruning -> per-channel
+    INT8 BSR -> teacher-forced bits/byte on held-out text,
+    fp32 parent vs INT8-sparse child.
+
+Corpus: the reference's own documentation tree (~100 KB of real
+English/markdown — the only real text shipped in this offline
+environment), byte-level vocab 256, last 10% held out.
+
+Writes docs/lm_quality.json; prints the table for the docs.
+
+Run: python tools/lm_quality.py  (~4 min on one v5e chip)
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "lm_quality.json")
+
+CORPUS_GLOBS = ["/root/reference/docs/**/*.md", "/root/reference/*.md"]
+SEQ = 64
+D_MODEL = 128
+N_HEADS = 4
+N_LAYERS = 2
+STEPS = 1200
+BATCH = 32
+SPARSITY = 0.5
+BLOCK = 8
+
+
+def load_corpus():
+    parts = []
+    for g in CORPUS_GLOBS:
+        for p in sorted(glob.glob(g, recursive=True)):
+            with open(p, "rb") as f:
+                parts.append(f.read())
+    data = np.frombuffer(b"\n".join(parts), np.uint8).astype(np.int32)
+    n_train = int(len(data) * 0.9)
+    return data[:n_train], data[n_train:]
+
+
+def batches(data, rng, batch, seq):
+    starts = rng.integers(0, len(data) - seq - 1, batch)
+    return np.stack([data[s:s + seq] for s in starts])
+
+
+def bits_per_byte_fp32(params, data, n_layers, n_heads, seq=SEQ,
+                       limit=20000):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from resnet_accel_tpu.train.lm import lm_forward_fp32
+
+    pj = {k: jnp.asarray(v) for k, v in params.items() if k != "meta"}
+
+    @jax.jit
+    def nll(toks):
+        logits = jax.vmap(
+            lambda t: lm_forward_fp32(pj, t, n_layers, n_heads))(toks)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], toks[:, 1:]).sum()
+
+    return _bpb(nll, data, seq, limit)
+
+
+def bits_per_byte_int8(model, scales, data, seq=SEQ, limit=20000):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    @jax.jit
+    def nll(toks):
+        logits = jax.vmap(lambda t: model.forward(t, scales))(toks)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], toks[:, 1:]).sum()
+
+    return _bpb(nll, data, seq, limit)
+
+
+def _bpb(nll, data, seq, limit):
+    data = data[:limit]
+    n_seq = (len(data) - 1) // seq
+    toks = data[:n_seq * seq].reshape(n_seq, seq)
+    total, count = 0.0, 0
+    for i in range(0, n_seq, 64):
+        chunk = toks[i:i + 64]
+        total += float(nll(chunk))
+        count += chunk.shape[0] * (seq - 1)
+    return total / count / np.log(2.0)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import jax.numpy as jnp
+    import optax
+    from resnet_accel_tpu.train.lm import (init_lm_fp32, lm_forward_fp32,
+                                           prune_lm_blockwise,
+                                           quantize_lm)
+
+    t0 = time.time()
+    train, held = load_corpus()
+    print(f"corpus: {len(train)} train / {len(held)} held-out bytes",
+          flush=True)
+
+    params = init_lm_fp32(vocab=256, d_model=D_MODEL, n_heads=N_HEADS,
+                          d_ff=2 * D_MODEL, n_layers=N_LAYERS,
+                          max_len=SEQ, seed=0)
+    train_keys = [k for k in params if k not in ("meta", "pos")]
+    pj = {k: jnp.asarray(v) for k, v in params.items() if k != "meta"}
+    opt = optax.adam(3e-3)
+    state = opt.init({k: pj[k] for k in train_keys})
+
+    def loss_fn(tp, toks):
+        full = dict(pj)
+        full.update(tp)
+        logits = jax.vmap(
+            lambda t: lm_forward_fp32(full, t, N_LAYERS, N_HEADS))(toks)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], toks[:, 1:]).mean()
+
+    @jax.jit
+    def step(tp, state, toks):
+        loss, g = jax.value_and_grad(loss_fn)(tp, toks)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(tp, upd), state, loss
+
+    tp = {k: pj[k] for k in train_keys}
+    rng = np.random.default_rng(0)
+    for s in range(STEPS):
+        toks = jnp.asarray(batches(train, rng, BATCH, SEQ))
+        tp, state, loss = step(tp, state, toks)
+        if s % 200 == 0:
+            print(f"step {s:5d} loss {float(loss):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    for k in train_keys:
+        params[k] = np.asarray(tp[k])
+
+    bpb_fp32 = bits_per_byte_fp32(params, held, N_LAYERS, N_HEADS)
+    print(f"fp32 held-out bits/byte: {bpb_fp32:.4f}", flush=True)
+
+    pruned = prune_lm_blockwise(params, SPARSITY, block=BLOCK)
+    bpb_pruned = bits_per_byte_fp32(pruned, held, N_LAYERS, N_HEADS)
+    print(f"fp32 {SPARSITY:.0%}-block-pruned bits/byte: "
+          f"{bpb_pruned:.4f}", flush=True)
+
+    model = quantize_lm(pruned, N_HEADS, block=BLOCK)
+    cal = train[:512]
+    scales = model.calibrate(cal[:model.max_len])
+    bpb_int8 = bits_per_byte_int8(model, scales, held)
+    sp = float(np.mean(list(
+        model.blocks[0].sparsity_report().values())))
+    print(f"INT8 sparse (mean block sparsity {sp:.1%}) bits/byte: "
+          f"{bpb_int8:.4f}", flush=True)
+
+    results = {
+        "corpus": "reference docs tree (markdown), byte-level",
+        "train_bytes": int(len(train)), "heldout_bytes": int(len(held)),
+        "model": {"d_model": D_MODEL, "layers": N_LAYERS,
+                  "heads": N_HEADS, "seq": SEQ},
+        "fp32_bpb": round(bpb_fp32, 4),
+        "fp32_pruned_bpb": round(bpb_pruned, 4),
+        "int8_sparse_bpb": round(bpb_int8, 4),
+        "int8_delta_vs_pruned_fp32": round(bpb_int8 - bpb_pruned, 4),
+        "prune_sparsity": SPARSITY,
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {OUT_JSON} ({time.time() - t0:.0f}s total)")
+    print("\n| model | held-out bits/byte |")
+    print("|---|---|")
+    print(f"| fp32 | {bpb_fp32:.3f} |")
+    print(f"| fp32, {SPARSITY:.0%} block-pruned | {bpb_pruned:.3f} |")
+    print(f"| INT8 sparse (BSR serving) | {bpb_int8:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
