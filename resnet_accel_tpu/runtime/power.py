@@ -55,6 +55,49 @@ class PowerProfile:
                 f"{self.gops_per_w:.1f} GOPS/W")
 
 
+def probe_live_telemetry() -> dict:
+    """Attempt every telemetry source this environment could expose;
+    return {source_name: status}.  The reference reads real XADC rails
+    (power_profiling.py:33-100); on a TPU host the candidates are:
+
+    - ``jax.Device.memory_stats()`` — HBM occupancy (not power, but the
+      only per-device counter the PJRT client exports);
+    - ``/sys/class/hwmon`` — kernel hwmon rails (present on GCE TPU VMs
+      with the TPU driver; absent behind the axon tunnel);
+    - the ``tpu-info``/libtpu gRPC metrics service on localhost:8431
+      (``tpu.monitoring.runtime`` — power/duty-cycle/HBM gauges).
+
+    Probed on this image (2026-08): all three absent — the chip sits
+    behind a tunnel, so the host has no /dev/accel, no hwmon rails and
+    no local metrics server, and ``memory_stats()`` returns None.
+    estimate_power's modeled numbers (clearly labeled) remain the
+    honest fallback; callers can re-run this probe and switch
+    ``modeled=False`` when a source appears.
+    """
+    import glob
+    import os
+    import socket
+
+    status = {}
+    try:
+        import jax
+        ms = jax.devices()[0].memory_stats()
+        status["pjrt_memory_stats"] = (
+            "available" if isinstance(ms, dict) and ms else "none")
+    except Exception as e:  # no device at all
+        status["pjrt_memory_stats"] = f"error: {e}"
+    rails = [p for p in glob.glob("/sys/class/hwmon/hwmon*/name")
+             if "tpu" in open(p).read().lower()] \
+        if os.path.isdir("/sys/class/hwmon") else []
+    status["hwmon_rails"] = rails or "none"
+    try:
+        with socket.create_connection(("127.0.0.1", 8431), timeout=0.2):
+            status["libtpu_metrics_8431"] = "listening"
+    except OSError:
+        status["libtpu_metrics_8431"] = "none"
+    return status
+
+
 def estimate_power(
     name: str,
     duration_s: float,

@@ -151,3 +151,35 @@ class TestPerf:
         m = timer.measure("add", lambda a: a + 1, jnp.zeros((8, 8)),
                           total_ops=64)
         assert m.latency_s > 0
+
+
+class TestPower:
+    def test_modeled_profile_math(self):
+        from resnet_accel_tpu.runtime.power import (
+            PowerProfile, estimate_power, TPU_V5E_IDLE_W, TPU_V5E_TDP_W)
+        p = estimate_power("fc1", duration_s=0.5, total_ops=10**11,
+                           utilization=0.5)
+        assert p.modeled
+        assert p.avg_w == TPU_V5E_IDLE_W + 0.5 * (TPU_V5E_TDP_W
+                                                  - TPU_V5E_IDLE_W)
+        assert p.peak_w == TPU_V5E_TDP_W
+        assert abs(p.energy_j - p.avg_w * 0.5) < 1e-9
+        assert p.gops_per_w > 0
+        assert "(modeled)" in p.report()
+        live = PowerProfile("x", 1.0, 100.0, 120.0, modeled=False)
+        assert "(modeled)" not in live.report()
+
+    def test_idle_utilization_clamps(self):
+        from resnet_accel_tpu.runtime.power import (estimate_power,
+                                                    TPU_V5E_IDLE_W)
+        p = estimate_power("idle", 1.0, 0, utilization=-3.0)
+        assert p.avg_w == TPU_V5E_IDLE_W and p.peak_w == TPU_V5E_IDLE_W
+
+    def test_live_telemetry_probe_reports_sources(self):
+        from resnet_accel_tpu.runtime.power import probe_live_telemetry
+        status = probe_live_telemetry()
+        # every candidate source is probed and reported, found or not
+        assert set(status) == {"pjrt_memory_stats", "hwmon_rails",
+                               "libtpu_metrics_8431"}
+        for v in status.values():
+            assert v  # a status string/list, never empty
