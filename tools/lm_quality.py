@@ -4,9 +4,10 @@ The synthetic-language test (train/lm.py's cyclic task) checks the
 pipeline end to end; this measures the thing the reference's accuracy
 tables measure — quality ON REAL DATA — for the transformer family:
 
-    real text -> fp32 byte-LM training -> block pruning -> per-channel
-    INT8 BSR -> teacher-forced bits/byte on held-out text,
-    fp32 parent vs INT8-sparse child.
+    real text -> fp32 byte-LM training -> progressive block pruning
+    with masked fine-tune (blocksparse_train.py schedule) ->
+    per-channel INT8 BSR -> teacher-forced bits/byte on held-out
+    text, fp32 parent vs pruned fp32 vs INT8-sparse child.
 
 Corpus: the reference's own documentation tree (~100 KB of real
 English/markdown — the only real text shipped in this offline
@@ -135,28 +136,54 @@ def main():
             logits[:, :-1], toks[:, 1:]).mean()
 
     @jax.jit
-    def step(tp, state, toks):
+    def step(tp, state, toks, masks):
+        # Pruned-block masks are re-applied after every optimizer step,
+        # mirroring blocksparse_train.py's fine-tune loop (reference
+        # sw/training/blocksparse_train.py:324-395).  An all-ones mask
+        # dict makes this the plain dense step.
         loss, g = jax.value_and_grad(loss_fn)(tp, toks)
         upd, state = opt.update(g, state)
-        return optax.apply_updates(tp, upd), state, loss
+        tp = optax.apply_updates(tp, upd)
+        tp = {k: v * masks[k] if k in masks else v
+              for k, v in tp.items()}
+        return tp, state, loss
+
+    def run_steps(tp, state, n, masks, tag):
+        for s in range(n):
+            toks = jnp.asarray(batches(train, rng, BATCH, SEQ))
+            tp, state, loss = step(tp, state, toks, masks)
+            if s % 200 == 0:
+                print(f"{tag} step {s:5d} loss {float(loss):.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        return tp, state
 
     tp = {k: pj[k] for k in train_keys}
     rng = np.random.default_rng(0)
-    for s in range(STEPS):
-        toks = jnp.asarray(batches(train, rng, BATCH, SEQ))
-        tp, state, loss = step(tp, state, toks)
-        if s % 200 == 0:
-            print(f"step {s:5d} loss {float(loss):.3f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+    tp, state = run_steps(tp, state, STEPS, {}, "dense")
     for k in train_keys:
         params[k] = np.asarray(tp[k])
 
     bpb_fp32 = bits_per_byte_fp32(params, held, N_LAYERS, N_HEADS)
     print(f"fp32 held-out bits/byte: {bpb_fp32:.4f}", flush=True)
 
-    pruned = prune_lm_blockwise(params, SPARSITY, block=BLOCK)
+    # Progressive prune -> masked fine-tune (the reference's
+    # progressive_sparsity schedule, scaled to this corpus size).
+    pruned = dict(params)
+    for frac, ft_steps in [(SPARSITY / 2, 300), (SPARSITY, 500)]:
+        pruned = prune_lm_blockwise(pruned, frac, block=BLOCK)
+        # The prune leaves exact zero blocks; freeze them via masks.
+        masks = {k: jnp.asarray((pruned[k] != 0).astype(np.float32))
+                 for k in train_keys
+                 if not np.array_equal(pruned[k], params[k])}
+        tp = {k: jnp.asarray(pruned[k]) for k in train_keys}
+        state = opt.init(tp)
+        tp, state = run_steps(tp, state, ft_steps, masks,
+                              f"ft@{frac:.0%}")
+        for k in train_keys:
+            pruned[k] = np.asarray(tp[k])
+
     bpb_pruned = bits_per_byte_fp32(pruned, held, N_LAYERS, N_HEADS)
-    print(f"fp32 {SPARSITY:.0%}-block-pruned bits/byte: "
+    print(f"fp32 {SPARSITY:.0%}-block-pruned+ft bits/byte: "
           f"{bpb_pruned:.4f}", flush=True)
 
     model = quantize_lm(pruned, N_HEADS, block=BLOCK)
@@ -174,10 +201,11 @@ def main():
         "model": {"d_model": D_MODEL, "layers": N_LAYERS,
                   "heads": N_HEADS, "seq": SEQ},
         "fp32_bpb": round(bpb_fp32, 4),
-        "fp32_pruned_bpb": round(bpb_pruned, 4),
+        "fp32_pruned_ft_bpb": round(bpb_pruned, 4),
         "int8_sparse_bpb": round(bpb_int8, 4),
         "int8_delta_vs_pruned_fp32": round(bpb_int8 - bpb_pruned, 4),
         "prune_sparsity": SPARSITY,
+        "prune_schedule": "progressive 25%->50% w/ masked fine-tune",
     }
     with open(OUT_JSON, "w") as f:
         json.dump(results, f, indent=1)
@@ -185,7 +213,8 @@ def main():
     print("\n| model | held-out bits/byte |")
     print("|---|---|")
     print(f"| fp32 | {bpb_fp32:.3f} |")
-    print(f"| fp32, {SPARSITY:.0%} block-pruned | {bpb_pruned:.3f} |")
+    print(f"| fp32, {SPARSITY:.0%} block-pruned + fine-tuned "
+          f"| {bpb_pruned:.3f} |")
     print(f"| INT8 sparse (BSR serving) | {bpb_int8:.3f} |")
 
 
