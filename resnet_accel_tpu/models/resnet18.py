@@ -54,7 +54,9 @@ from resnet_accel_tpu.ops.pooling import (
     avgpool_global_int8_nhwc,
     maxpool2d_int8_nhwc,
 )
-from resnet_accel_tpu.ops.stem_pack import quantize_s2d_wh, transpose_taps
+from resnet_accel_tpu.ops.stem_pack import (quantize_s2d_nm,
+                                            quantize_s2d_wh,
+                                            transpose_taps)
 from resnet_accel_tpu.runtime import backend as backend_mod
 from resnet_accel_tpu.ops.bsr_matmul import (
     KernelBSR,
@@ -581,7 +583,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  conv_method: str = "native",
                  layout: str = "NCHW",
                  stem_s2d: bool = True,
-                 stem_wh: Optional[bool] = None):
+                 stem_wh: Optional[bool] = None,
+                 stem_nm: Optional[bool] = None):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -619,16 +622,33 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     # enables on the TPU backend (on CPU the kernel's interpret fallback
     # is the plain composition — correct but no faster, so default off
     # there; tests force it on to cover the WH trunk hermetically).
+    # NM (batch-minor) pipeline, the successor to WH: the fused
+    # quantize+s2d kernel runs on a [C, H, W, N] view of the input and
+    # emits [H/2, W/2, C*4, N] — on TPU both views are free relayouts
+    # (XLA's auto entry layout is batch-minor, and the emitted bytes are
+    # exactly the conv emitter's wanted {0,1,3,2} activation layout),
+    # killing the ~246 us of stem relayout copies the WH kernel forced
+    # at batch 128 while keeping the trunk UNTRANSPOSED — so it also
+    # composes with BSR-sparse layers.  ``stem_nm=None`` auto-enables
+    # on the TPU backend unless WH was explicitly requested.
+    on_tpu = backend_mod.resolve_backend(backend) == "tpu"
+    if stem_nm is None:
+        stem_nm = on_tpu and stem_wh is not True
+    use_nm = use_s2d and stem_nm
     if stem_wh is None:
-        stem_wh = backend_mod.resolve_backend(backend) == "tpu"
+        stem_wh = on_tpu
     use_wh = (use_s2d and stem_wh
               and not any(qc.bsr is not None
                           for _, qc in model.named_convs()))
     interp = backend_mod.interpret_mode(backend)
 
-    def run_stem_s2d(params, qc: QConv, x, wh: bool):
+    def run_stem_s2d(params, qc: QConv, x, mode: str):
         with jax.named_scope("stem"):
-            if wh:
+            if mode == "nm":
+                s = quantize_s2d_nm(x, model.s_input,
+                                    interpret=interp)   # fp32 in
+                w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
+            elif mode == "wh":
                 s = quantize_s2d_wh(x, model.s_input,
                                     interpret=interp)   # fp32 in
                 w = transpose_taps(
@@ -680,14 +700,17 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
         s2d_ok = use_s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
-        wh = use_wh and s2d_ok and x.dtype != jnp.int8
-        if wh:
+        # nm needs full 128 lanes (its kernel gate); wh covers the rest.
+        nm = (use_nm and s2d_ok and x.dtype != jnp.int8
+              and (interp or (x.shape[0] > 0 and x.shape[0] % 128 == 0)))
+        wh = use_wh and s2d_ok and x.dtype != jnp.int8 and not nm
+        if nm or wh:
             # quantize fuses into the s2d kernel: fp32 straight in
-            a = run_stem_s2d(params, model.stem, x, True)
+            a = run_stem_s2d(params, model.stem, x, "nm" if nm else "wh")
         else:
             a = x if x.dtype == jnp.int8 \
                 else quantize_input(x, model.s_input)
-            a = run_stem_s2d(params, model.stem, a, False) if s2d_ok \
+            a = run_stem_s2d(params, model.stem, a, "std") if s2d_ok \
                 else run_conv(params, "stem", model.stem, a)
         if not model.small_input:
             with jax.named_scope("stem.pool"):

@@ -106,6 +106,85 @@ def quantize_s2d_wh(x: jnp.ndarray, scale: float,
     )(x)
 
 
+def _pick_ht(H: int, C: int, W: int, N: int) -> int:
+    """Largest even divisor of H whose fp32 input block stays <= ~4 MB
+    of VMEM (the lane dim pads to 128, so budget with max(N, 128))."""
+    budget = 4 << 20
+    for cand in range(min(H, 64), 1, -2):
+        if H % cand == 0 and C * cand * W * max(N, 128) * 4 <= budget:
+            return cand
+    return 2
+
+
+def _kernel_nm(x_ref, out_ref, *, scale: float):
+    """Batch-minor parity split: with batch N on lanes, the W parity is
+    a SUBLANE-strided ref read (Mosaic lowers sublane strides fine; it
+    is LANE strides that become unsupported gathers, see _kernel_wh)
+    and the H parity is a static index on an outer dim (the wrapper
+    pre-splits H into (H/2, 2) with a free outer-dim reshape).  No
+    bitcasts, no in-VMEM transposes — every plane lands in its natural
+    layout.  Quantize divides by scale (the quantize_input contract,
+    see _kernel_wh).  The per-plane store's singleton-insert reshape
+    only legalizes at full 128 lanes — hence the wrapper's N%128 gate.
+    """
+    C, HH, _, W, N = x_ref.shape
+    for c in range(C):
+        for rp in range(2):
+            for cp in range(2):
+                x = x_ref[c, :, rp, cp::2, :]         # [HH, W/2, N] f32
+                q = jnp.rint(x / jnp.float32(scale))
+                q = jnp.clip(q, -128, 127).astype(jnp.int8)
+                out_ref[:, :, c * 4 + rp * 2 + cp, :] = q
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def quantize_s2d_nm(x: jnp.ndarray, scale: float,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[N, C, H, W] fp32 -> [N, C*4, H/2, W/2] int8: fused quantize +
+    2x2 space-to-depth in one HBM pass, formulated BATCH-MINOR.
+
+    Bit-exact equal to ``space_to_depth_nchw(quantize_input(x, scale))``
+    — same logical result as quantize_s2d_nchw, but the kernel runs on a
+    [C, H, W, N] view of the input and emits [H/2, W/2, C*4, N].  On
+    TPU both transposes are free relayouts: XLA's auto entry layout for
+    a batch-128 image tensor is batch-minor ``{0,3,2,1}`` (batch fills
+    the 128 lanes), byte-identical to the [C, H, W, N] view, and the
+    emitted [H/2, W/2, C*4, N] bytes are exactly the batch-minor
+    ``{0,1,3,2}`` activation layout XLA's conv emitter wants next.
+    This kills both relayout copies the default-layout kernel
+    (quantize_s2d_wh) forces (~246 us at batch 128) AND the WH pipeline's
+    tap-transposed trunk — downstream convs take untransposed taps, so
+    the route composes with BSR-sparse layers too.
+
+    The kernel's per-plane stores only legalize at full 128 lanes, so
+    for N not a multiple of 128 (and N=0 edge) this falls back to the
+    reference composition — bit-identical, just not single-pass; the
+    throughput path (batch 128) always takes the kernel.
+    """
+    N, C, H, W = x.shape
+    if H % 2 or W % 2:
+        raise ValueError(f"H, W must be even for 2x2 s2d, got {H}x{W}")
+    if not interpret and (N == 0 or N % 128):
+        return quantize_s2d_nchw(x, scale)
+    xt = x.transpose(1, 2, 3, 0).reshape(C, H // 2, 2, W, N)
+    ht = _pick_ht(H, C, W, N)
+    kern = functools.partial(_kernel_nm, scale=float(scale))
+    out = pl.pallas_call(
+        kern,
+        grid=(H // ht,),
+        in_specs=[pl.BlockSpec((C, ht // 2, 2, W, N),
+                               lambda i: (0, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ht // 2, W // 2, 4 * C, N),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H // 2, W // 2, 4 * C, N),
+                                       jnp.int8),
+        interpret=interpret,
+    )(xt)
+    return out.transpose(3, 2, 0, 1)                  # NCHW view
+
+
 def transpose_taps(w2d: jnp.ndarray, in_c: int, kernel: int):
     """Swap a flattened conv weight's kh/kw taps: [O, C*k*k] with
     (c, kh, kw) K-order -> (c, kw, kh).  Convolving a spatially

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from resnet_accel_tpu.ops.conv import space_to_depth_nchw
 from resnet_accel_tpu.ops.epilogue import quantize_input
 from resnet_accel_tpu.ops.stem_pack import (quantize_s2d_nchw,
+                                            quantize_s2d_nm,
                                             quantize_s2d_wh,
                                             transpose_taps)
 
@@ -36,10 +37,25 @@ class TestQuantizeS2d:
         exp = space_to_depth_nchw(quantize_input(x, 0.1))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
+    def test_nm_matches_reference_composition(self):
+        # interpret mode runs the REAL batch-minor kernel (it has no
+        # TPU-only bitcasts), so the parity-split logic is covered
+        # hermetically.
+        rng = np.random.default_rng(5)
+        for shape in [(2, 3, 12, 16), (1, 3, 8, 8), (4, 3, 32, 32)]:
+            x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+            got = quantize_s2d_nm(x, 0.05, interpret=True)
+            exp = quantize_s2d_nchw(x, 0.05)
+            assert got.dtype == jnp.int8
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(exp))
+
     def test_rejects_odd_spatial(self):
         x = jnp.zeros((1, 3, 7, 8), jnp.float32)
         with pytest.raises(ValueError, match="even"):
             quantize_s2d_wh(x, 0.1, interpret=True)
+        with pytest.raises(ValueError, match="even"):
+            quantize_s2d_nm(x, 0.1, interpret=True)
 
     def test_quantize_ties_match(self):
         # rint ties: x/scale and x*(1/scale) can differ by 1 ulp; the
@@ -82,6 +98,47 @@ class TestWHForwardBitExact:
         wh = make_forward(model, use_pallas=False, backend="cpu",
                           stem_wh=True)(params, x)
         np.testing.assert_array_equal(np.asarray(std), np.asarray(wh))
+
+    def test_resnet18_nm_matches_standard(self):
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward)
+        rng = np.random.default_rng(6)
+        fp32 = init_resnet18_fp32(seed=0, num_classes=10,
+                                  small_input=False)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(fp32, calib, 10, small_input=False)
+        params = model.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32))
+                        .astype(np.float32))
+        std = make_forward(model, use_pallas=False, backend="cpu",
+                           stem_nm=False, stem_wh=False)(params, x)
+        nm = make_forward(model, use_pallas=False, backend="cpu",
+                          stem_nm=True)(params, x)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(nm))
+
+    def test_resnet18_nm_sparse_matches_dense_routing(self):
+        # The nm stem must compose with BSR-attached trunk layers
+        # (the WH route cannot — tap K-order), so the auto route picks
+        # nm even for sparse models; verify logits are unchanged when
+        # the stem route flips on a sparse model.
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward,
+            attach_bsr, prune_params_blockwise)
+        rng = np.random.default_rng(7)
+        fp32 = init_resnet18_fp32(seed=0, num_classes=10,
+                                  small_input=False)
+        pruned = prune_params_blockwise(fp32, sparsity=0.7, block=14)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(pruned, calib, 10, small_input=False)
+        sparse = attach_bsr(model)
+        params = sparse.as_device_params()
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32))
+                        .astype(np.float32))
+        std = make_forward(sparse, use_pallas=True, backend="cpu",
+                           stem_nm=False, stem_wh=False)(params, x)
+        nm = make_forward(sparse, use_pallas=True, backend="cpu",
+                          stem_nm=True)(params, x)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(nm))
 
     def test_resnet50_wh_matches_standard(self):
         # bottleneck blocks (1x1 convs skip the tap transpose)
