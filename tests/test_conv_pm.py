@@ -1,0 +1,107 @@
+"""Pixel-major 3x3 conv kernel (ops/conv_pm.py) vs the golden conv.
+
+The kernel's contract is the reference conv + requantize (+ residual
+add) composition — golden_models.cpp:684 (direct conv), :883 (im2col),
+with the output_accumulator epilogue semantics.  Interpret mode on CPU;
+bit-exactness tolerance is 0 (int32 adds are associative, so the
+kh-split recombination is exact).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from resnet_accel_tpu.golden.conv import conv2d_int8_simple
+from resnet_accel_tpu.ops import conv_pm
+from resnet_accel_tpu.ops.epilogue import add_residual, requantize
+
+
+def _golden_block(x, w, bias, factors, relu, res=None, res_scales=None):
+    """Per-sample golden conv -> requant (-> residual add)."""
+    out = []
+    for i in range(x.shape[0]):
+        acc = conv2d_int8_simple(x[i], w, bias, stride=1, padding=1)
+        y = requantize(jnp.asarray(acc), factors, relu=relu, axis=0)
+        if res is not None:
+            y = add_residual(y, jnp.asarray(res[i]), *res_scales, relu=True)
+        out.append(np.asarray(y))
+    return np.stack(out)
+
+
+def _rand_layer(rng, c):
+    w = rng.integers(-128, 128, size=(c, c, 3, 3), dtype=np.int8)
+    bias = rng.integers(-1000, 1000, size=(c,), dtype=np.int32)
+    factors = (rng.random(c).astype(np.float32) * 0.01 + 1e-3)
+    return w, bias, factors.astype(np.float32)
+
+
+class TestConvPM:
+    @pytest.mark.parametrize("c,h,w_sp", [(8, 6, 5), (16, 4, 3)])
+    def test_bit_exact_plain(self, c, h, w_sp):
+        rng = np.random.default_rng(c)
+        n = 128
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+
+        ref = _golden_block(x, w, bias, factors, relu=True)
+        g = conv_pm.pack_g3(w.reshape(c, c * 9), c)
+        xpm = conv_pm.to_pixel_major(jnp.asarray(x))
+        out = conv_pm.conv3x3_pm(
+            xpm, jnp.asarray(g), jnp.asarray(bias), jnp.asarray(factors),
+            n=n, relu=True, interpret=True)
+        got = np.asarray(conv_pm.from_pixel_major(out, n))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_bit_exact_residual(self):
+        rng = np.random.default_rng(7)
+        n, c, h, w_sp = 128, 8, 5, 4
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        res = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+        scales = (0.03, 0.02, 0.05)
+
+        ref = _golden_block(x, w, bias, factors, relu=False,
+                            res=res, res_scales=scales)
+        g = conv_pm.pack_g3(w.reshape(c, c * 9), c)
+        xpm = conv_pm.to_pixel_major(jnp.asarray(x))
+        rpm = conv_pm.to_pixel_major(jnp.asarray(res))
+        out = conv_pm.conv3x3_pm(
+            xpm, jnp.asarray(g), jnp.asarray(bias), jnp.asarray(factors),
+            n=n, relu=False, residual=rpm, res_scales=scales,
+            interpret=True)
+        got = np.asarray(conv_pm.from_pixel_major(out, n))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_chunked_matches_unchunked(self):
+        rng = np.random.default_rng(3)
+        n, c, h, w_sp = 128, 8, 4, 4
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+        g = conv_pm.pack_g3(w.reshape(c, c * 9), c)
+        xpm = conv_pm.to_pixel_major(jnp.asarray(x))
+        outs = [
+            conv_pm.conv3x3_pm(
+                xpm, jnp.asarray(g), jnp.asarray(bias),
+                jnp.asarray(factors), n=n, relu=True, chunk=chunk,
+                interpret=True)
+            for chunk in (128, 256, w_sp * n)
+        ]
+        for o in outs[1:]:
+            np.testing.assert_array_equal(np.asarray(outs[0]),
+                                          np.asarray(o))
+
+    def test_layout_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = rng.integers(-128, 128, size=(128, 8, 5, 4), dtype=np.int8)
+        pm = conv_pm.to_pixel_major(jnp.asarray(x))
+        assert pm.shape == (5, 8, 4 * 128)
+        back = np.asarray(conv_pm.from_pixel_major(pm, 128))
+        np.testing.assert_array_equal(back, x)
+
+    def test_rejects_bad_batch(self):
+        x = jnp.zeros((4, 8, 4 * 96), jnp.int8)
+        g = jnp.zeros((2, 3, 16, 16), jnp.int8)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            conv_pm.conv3x3_pm(x, g, jnp.zeros(8, jnp.int32),
+                               jnp.ones(8, jnp.float32), n=96,
+                               interpret=True)
