@@ -31,6 +31,21 @@ def cpu_devices():
 # the XLA default device — otherwise every jnp op would compile over the
 # TPU tunnel, which is slow and non-hermetic.
 os.environ["RESNET_ACCEL_TPU_BACKEND"] = "cpu"
+
+# Stronger than pinning the default device: UNREGISTER the tunnel-backed
+# TPU plugin before any backend initializes.  jax initializes every
+# registered platform on the first backends() call, so a merely-pinned
+# suite still dials the TPU tunnel once at startup — and hangs forever in
+# make_c_api_client if the tunnel endpoint is down (observed: a wedged
+# claim blocks even pure-CPU jnp ops).  The suite is CPU-hermetic by
+# design; dropping the factory removes the tunnel as a failure mode.
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # jax internals moved — fall back to device pinning
+    pass
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:  # no cpu backend registered — leave default

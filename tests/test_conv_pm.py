@@ -98,6 +98,57 @@ class TestConvPM:
         back = np.asarray(conv_pm.from_pixel_major(pm, 128))
         np.testing.assert_array_equal(back, x)
 
+    def test_pair_plane_bit_exact_plain(self):
+        rng = np.random.default_rng(11)
+        n, c, h, w_sp = 128, 8, 6, 5
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+
+        ref = _golden_block(x, w, bias, factors, relu=True)
+        g = conv_pm.pack_g3_pair(w.reshape(c, c * 9), c)
+        xe, xo = conv_pm.to_pm_planes(jnp.asarray(x))
+        oe, oo = conv_pm.conv3x3_pm2(
+            xe, xo, jnp.asarray(g), jnp.asarray(bias),
+            jnp.asarray(factors), n=n, relu=True, interpret=True)
+        got = np.asarray(conv_pm.from_pm_planes(oe, oo, n))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_pair_plane_bit_exact_residual(self):
+        # Scales are irregular mantissas, like real calibrated scales.
+        # Round-ratio scales (e.g. s_res/s_out == 1/2) manufacture huge
+        # populations of exact rounding ties, where XLA's documented
+        # cross-compilation liberties (x/const -> x*(1/const), mul+add
+        # -> fma; docs/ARCHITECTURE.md "FMA ties") flip the last LSB.
+        # Real calibration never produces such ratios (measure-zero in
+        # float32), so the bit-exact contract is stated off-tie — the
+        # same convention the model-level golden tests rely on.
+        rng = np.random.default_rng(13)
+        n, c, h, w_sp = 128, 8, 4, 3
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        res = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+        scales = (0.043719, 0.029153, 0.061347)
+
+        ref = _golden_block(x, w, bias, factors, relu=False,
+                            res=res, res_scales=scales)
+        g = conv_pm.pack_g3_pair(w.reshape(c, c * 9), c)
+        xe, xo = conv_pm.to_pm_planes(jnp.asarray(x))
+        re_, ro_ = conv_pm.to_pm_planes(jnp.asarray(res))
+        oe, oo = conv_pm.conv3x3_pm2(
+            xe, xo, jnp.asarray(g), jnp.asarray(bias),
+            jnp.asarray(factors), n=n, relu=False,
+            residual=(re_, ro_), res_scales=scales, interpret=True)
+        got = np.asarray(conv_pm.from_pm_planes(oe, oo, n))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_pair_plane_roundtrip(self):
+        rng = np.random.default_rng(2)
+        x = rng.integers(-128, 128, size=(128, 8, 6, 4), dtype=np.int8)
+        xe, xo = conv_pm.to_pm_planes(jnp.asarray(x))
+        assert xe.shape == xo.shape == (3, 8, 4 * 128)
+        back = np.asarray(conv_pm.from_pm_planes(xe, xo, 128))
+        np.testing.assert_array_equal(back, x)
+
     def test_rejects_bad_batch(self):
         x = jnp.zeros((4, 8, 4 * 96), jnp.int8)
         g = jnp.zeros((2, 3, 16, 16), jnp.int8)
