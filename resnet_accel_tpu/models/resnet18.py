@@ -44,6 +44,7 @@ from resnet_accel_tpu.ops import (
     quantize_input,
     requant_factors,
 )
+from resnet_accel_tpu.ops import conv_pm
 from resnet_accel_tpu.ops.conv import (
     conv2d_int8_nhwc,
     space_to_depth_nchw,
@@ -584,7 +585,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  layout: str = "NCHW",
                  stem_s2d: bool = True,
                  stem_wh: Optional[bool] = None,
-                 stem_nm: Optional[bool] = None):
+                 stem_nm: Optional[bool] = None,
+                 pm_trunk: Optional[bool] = None):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -698,6 +700,50 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             factors=params[f"{prefix}.f"], relu=qc.relu,
             use_pallas=use_pallas, backend=backend, method=conv_method)
 
+    # Pixel-major pair-plane trunk (ops/conv_pm.py): identity basic
+    # blocks whose two 3x3/s1/p1 convs have C_in = C_out <= 64 run as
+    # fused Pallas kernels over parity-split [H/2, C, W*N] planes —
+    # all 128 MXU output lanes live where XLA's conv emitter caps at
+    # C_out of 128 (the measured 64-channel conv ceiling,
+    # docs/ARCHITECTURE.md §7).  Consecutive eligible blocks chain in
+    # plane layout with zero relayouts; conv2 fuses the residual add.
+    # ``pm_trunk=None`` auto-enables on the TPU backend.
+    if pm_trunk is None:
+        pm_trunk = False  # measured: off pending TPU perf validation
+    use_pm = pm_trunk and use_pallas and conv_method == "native"
+    _PM_MAX_C = 64
+
+    def _pm_block_ok(blk) -> bool:
+        if not isinstance(blk, QBlock) or blk.downsample is not None:
+            return False
+        for qc in (blk.conv1, blk.conv2):
+            c = qc.in_channels
+            if (qc.bsr is not None or qc.kernel != 3 or qc.stride != 1
+                    or qc.padding != 1 or c > _PM_MAX_C
+                    or qc.w2d.shape[0] != c):
+                return False
+        return True
+
+    def run_block_pm(params, i, blk, planes, wh, n):
+        def g_of(prefix, qc):
+            w2d = params[f"{prefix}.w"]
+            if wh:
+                w2d = transpose_taps(w2d, qc.in_channels, qc.kernel)
+            return conv_pm.pack_g3_pair_jnp(w2d, qc.in_channels)
+
+        with jax.named_scope(f"b{i}.c1pm"):
+            ye = conv_pm.conv3x3_pm2(
+                planes[0], planes[1], g_of(f"b{i}.c1", blk.conv1),
+                params[f"b{i}.c1.b"], params[f"b{i}.c1.f"], n=n,
+                relu=blk.conv1.relu, interpret=interp)
+        with jax.named_scope(f"b{i}.c2pm"):
+            return conv_pm.conv3x3_pm2(
+                ye[0], ye[1], g_of(f"b{i}.c2", blk.conv2),
+                params[f"b{i}.c2.b"], params[f"b{i}.c2.f"], n=n,
+                relu=blk.conv2.relu, residual=planes,
+                res_scales=(blk.s_main, blk.s_res, blk.s_out),
+                interpret=interp)
+
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
         s2d_ok = use_s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
@@ -715,7 +761,24 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         if not model.small_input:
             with jax.named_scope("stem.pool"):
                 a = maxpool2d_int8(a, 3, 2, padding=1)
+        planes = None  # (even, odd) pm planes while inside a pm run
         for i, blk in enumerate(model.blocks):
+            pm_ok = (use_pm and _pm_block_ok(blk)
+                     and a.shape[0] % 128 == 0 and a.shape[2] % 2 == 0)
+            if pm_ok:
+                if planes is None:
+                    with jax.named_scope("pm.enter"):
+                        planes = conv_pm.to_pm_planes(a)
+                planes = run_block_pm(params, i, blk, planes, wh,
+                                      a.shape[0])
+                with jax.named_scope(f"b{i}.exitpm"):
+                    # NCHW view kept for the next block's shape checks;
+                    # dead code (XLA DCE) while the pm run continues.
+                    a = conv_pm.from_pm_planes(planes[0], planes[1],
+                                               a.shape[0])
+                continue
+            if planes is not None:
+                planes = None  # `a` already holds the NCHW view
             y = run_conv(params, f"b{i}.c1", blk.conv1, a, wh)
             y = run_conv(params, f"b{i}.c2", blk.conv2, y, wh)
             if isinstance(blk, QBottleneck):

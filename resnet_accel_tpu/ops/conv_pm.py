@@ -205,6 +205,32 @@ def pack_g3_pair(w2d: np.ndarray, c_in: int) -> np.ndarray:
     return g
 
 
+def pack_g3_pair_jnp(w2d, c_in: int) -> jnp.ndarray:
+    """Traceable pack_g3_pair: identical layout, jnp ops only.
+
+    Used inside the jitted forward where weights are device params (or
+    baked constants — XLA folds the whole pack at compile time then).
+    Bit-identical to pack_g3_pair (tested)."""
+    c_out = w2d.shape[0]
+    w4 = jnp.asarray(w2d).reshape(c_out, c_in, 3, 3)
+    z = jnp.zeros((c_out, c_in), w4.dtype)
+
+    def kw_block(v, kw):
+        k0, k1, k2 = w4[:, :, 0, kw], w4[:, :, 1, kw], w4[:, :, 2, kw]
+        if v == 0:   # cur = slot0 (cols 0, C), prev = slot1 (2C, 3C)
+            even = [k1, k2, z, k0]
+            odd = [k2, z, k0, k1]
+        else:        # cur = slot1, prev = slot0
+            even = [z, k0, k1, k2]
+            odd = [k0, k1, k2, z]
+        return jnp.concatenate([jnp.concatenate(even, axis=1),
+                                jnp.concatenate(odd, axis=1)], axis=0)
+
+    return jnp.stack([
+        jnp.stack([kw_block(v, kw) for kw in range(3)]) for v in range(2)
+    ])
+
+
 def to_pm_planes(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[N, C, H, W] -> (even, odd) row planes, each [H/2, C, W*N]."""
     pm = to_pixel_major(x)

@@ -149,6 +149,14 @@ class TestConvPM:
         back = np.asarray(conv_pm.from_pm_planes(xe, xo, 128))
         np.testing.assert_array_equal(back, x)
 
+    def test_pack_g3_pair_jnp_matches_numpy(self):
+        rng = np.random.default_rng(5)
+        c = 16
+        w2d = rng.integers(-128, 128, size=(c, c * 9), dtype=np.int8)
+        a = conv_pm.pack_g3_pair(w2d, c)
+        b = np.asarray(conv_pm.pack_g3_pair_jnp(w2d, c))
+        np.testing.assert_array_equal(a, b)
+
     def test_rejects_bad_batch(self):
         x = jnp.zeros((4, 8, 4 * 96), jnp.int8)
         g = jnp.zeros((2, 3, 16, 16), jnp.int8)
@@ -156,3 +164,48 @@ class TestConvPM:
             conv_pm.conv3x3_pm(x, g, jnp.zeros(8, jnp.int32),
                                jnp.ones(8, jnp.float32), n=96,
                                interpret=True)
+
+
+class TestPMTrunk:
+    """The pm_trunk route of make_forward: identity 64-channel basic
+    blocks run as chained pair-plane kernels (models/resnet18.py).
+    Scales come from real calibration (irregular mantissas), so the
+    bit-exact contract holds — see the residual-test comment above."""
+
+    def test_forward_matches_standard_path(self):
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward)
+        rng = np.random.default_rng(0)
+        fp32 = init_resnet18_fp32(seed=0, num_classes=10,
+                                  small_input=True)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(fp32, calib, 10, small_input=True)
+        params = model.as_device_params()
+        x = jnp.asarray(
+            rng.normal(0, 1, (128, 3, 32, 32)).astype(np.float32))
+        ref = np.asarray(
+            make_forward(model, use_pallas=True)(params, x))
+        got = np.asarray(
+            make_forward(model, use_pallas=True, pm_trunk=True)(
+                params, x))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_small_batch_falls_back(self):
+        # n % 128 != 0 -> the pm route must silently fall back to the
+        # standard path (same results, no error).
+        from resnet_accel_tpu.models.resnet18 import (
+            init_resnet18_fp32, quantize_resnet18, make_forward)
+        rng = np.random.default_rng(1)
+        fp32 = init_resnet18_fp32(seed=1, num_classes=10,
+                                  small_input=True)
+        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(fp32, calib, 10, small_input=True)
+        params = model.as_device_params()
+        x = jnp.asarray(
+            rng.normal(0, 1, (4, 3, 32, 32)).astype(np.float32))
+        ref = np.asarray(
+            make_forward(model, use_pallas=True)(params, x))
+        got = np.asarray(
+            make_forward(model, use_pallas=True, pm_trunk=True)(
+                params, x))
+        np.testing.assert_array_equal(got, ref)
