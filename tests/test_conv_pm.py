@@ -172,17 +172,27 @@ class TestPMTrunk:
     Scales come from real calibration (irregular mantissas), so the
     bit-exact contract holds — see the residual-test comment above."""
 
-    def test_forward_matches_standard_path(self):
+    # Reduced stage plan + 16x16 input: same routing coverage (plane
+    # entry, 2-block chain in plane layout, exit at the stride-2 stage
+    # transition) at ~1/4 the interpret cost of the full ResNet-18.
+    STAGES = [(64, 2, 1), (128, 1, 2)]
+
+    def _model(self, seed):
         from resnet_accel_tpu.models.resnet18 import (
-            init_resnet18_fp32, quantize_resnet18, make_forward)
-        rng = np.random.default_rng(0)
-        fp32 = init_resnet18_fp32(seed=0, num_classes=10,
-                                  small_input=True)
-        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
-        model = quantize_resnet18(fp32, calib, 10, small_input=True)
+            init_resnet18_fp32, quantize_resnet18)
+        rng = np.random.default_rng(seed)
+        fp32 = init_resnet18_fp32(seed=seed, num_classes=10,
+                                  small_input=True, stages=self.STAGES)
+        calib = rng.normal(0, 1, (2, 3, 16, 16)).astype(np.float32)
+        return rng, quantize_resnet18(fp32, calib, 10, small_input=True,
+                                      stages=self.STAGES)
+
+    def test_forward_matches_standard_path(self):
+        from resnet_accel_tpu.models.resnet18 import make_forward
+        rng, model = self._model(0)
         params = model.as_device_params()
         x = jnp.asarray(
-            rng.normal(0, 1, (128, 3, 32, 32)).astype(np.float32))
+            rng.normal(0, 1, (128, 3, 16, 16)).astype(np.float32))
         ref = np.asarray(
             make_forward(model, use_pallas=True)(params, x))
         got = np.asarray(
@@ -193,16 +203,11 @@ class TestPMTrunk:
     def test_small_batch_falls_back(self):
         # n % 128 != 0 -> the pm route must silently fall back to the
         # standard path (same results, no error).
-        from resnet_accel_tpu.models.resnet18 import (
-            init_resnet18_fp32, quantize_resnet18, make_forward)
-        rng = np.random.default_rng(1)
-        fp32 = init_resnet18_fp32(seed=1, num_classes=10,
-                                  small_input=True)
-        calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
-        model = quantize_resnet18(fp32, calib, 10, small_input=True)
+        from resnet_accel_tpu.models.resnet18 import make_forward
+        rng, model = self._model(1)
         params = model.as_device_params()
         x = jnp.asarray(
-            rng.normal(0, 1, (4, 3, 32, 32)).astype(np.float32))
+            rng.normal(0, 1, (4, 3, 16, 16)).astype(np.float32))
         ref = np.asarray(
             make_forward(model, use_pallas=True)(params, x))
         got = np.asarray(
