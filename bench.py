@@ -33,9 +33,34 @@ CHAIN = 32
 ITERS = 9
 
 
+def _require_tpu(timeout_s: int = 300):
+    """Fail fast if the TPU tunnel is down.
+
+    jax initializes every registered platform on the first backends()
+    call; when the tunnel endpoint is dead the PJRT client blocks
+    FOREVER inside make_c_api_client — a GIL-holding C call, so neither
+    SIGALRM handlers nor any in-process timeout can interrupt it
+    (observed).  Probe device init in a throwaway subprocess with a
+    hard kill instead, so a dead tunnel becomes a clean, retryable
+    failure instead of hanging the whole bench run.
+    """
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, check=True)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"TPU tunnel init did not complete within {timeout_s}s — "
+            "the tunnel endpoint is likely down") from None
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _require_tpu()
 
     # Persistent compile cache: the chained loop takes ~3 min to compile
     # cold; cached reruns start timing in seconds and measure the same
