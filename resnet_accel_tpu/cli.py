@@ -561,6 +561,18 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # When the user explicitly asked for a non-TPU backend, unregister
+    # the tunnel-backed plugin BEFORE any command touches jax — device
+    # init blocks forever if the tunnel endpoint is down (see
+    # runtime/backend._drop_tunnel_backend).
+    from resnet_accel_tpu.runtime.backend import (_drop_tunnel_backend,
+                                                  resolve_backend)
+    backend = getattr(args, "backend", None)
+    try:
+        if resolve_backend(backend) != "tpu":
+            _drop_tunnel_backend()
+    except ValueError:
+        pass  # let the command report the bad --backend itself
     return args.fn(args)
 
 

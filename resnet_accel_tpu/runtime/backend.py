@@ -26,11 +26,26 @@ VALID_BACKENDS = ("tpu", "cpu", "golden")
 
 
 @functools.lru_cache(maxsize=None)
-def _accelerator_available() -> bool:
+def _drop_tunnel_backend() -> None:
+    """Unregister the tunnel-backed TPU plugin for CPU-only runs.
+
+    jax initializes every registered platform on the first backends()
+    call, so even a CPU-pinned run dials the TPU tunnel once at startup
+    — and blocks forever in a GIL-holding C call if the tunnel endpoint
+    is down (observed).  When the user explicitly asked for cpu/golden,
+    never touch the tunnel.  No-op after any backend initialized, and
+    under a plain CPU install (no plugin registered)."""
     try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:
-        return False
+        from jax._src import xla_bridge as _xb
+
+        if not _xb._backend_factories.get("axon"):
+            return
+        if _xb._backends:  # some backend already initialized — too late
+            return
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # jax internals moved — degrade to the old risk
+        pass
 
 
 def resolve_backend(backend: Optional[str] = None) -> str:
@@ -40,7 +55,17 @@ def resolve_backend(backend: Optional[str] = None) -> str:
         b = "tpu" if _accelerator_available() else "cpu"
     if b not in VALID_BACKENDS:
         raise ValueError(f"unknown backend {b!r}; expected {VALID_BACKENDS}")
+    if b in ("cpu", "golden"):
+        _drop_tunnel_backend()
     return b
+
+
+@functools.lru_cache(maxsize=None)
+def _accelerator_available() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 def interpret_mode(backend: Optional[str] = None) -> bool:
