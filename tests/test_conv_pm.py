@@ -214,3 +214,19 @@ class TestPMTrunk:
             make_forward(model, use_pallas=True, pm_trunk=True)(
                 params, x))
         np.testing.assert_array_equal(got, ref)
+
+    def test_wh_trunk_combination(self):
+        # The WH stem pipeline runs the trunk spatially TRANSPOSED with
+        # tap-transposed convs; the pm route must transpose its pair
+        # weights the same way (run_block_pm's g_of).
+        from resnet_accel_tpu.models.resnet18 import make_forward
+        rng, model = self._model(2)
+        params = model.as_device_params()
+        x = jnp.asarray(
+            rng.normal(0, 1, (128, 3, 16, 16)).astype(np.float32))
+        ref = np.asarray(
+            make_forward(model, use_pallas=True, stem_wh=True)(params, x))
+        got = np.asarray(
+            make_forward(model, use_pallas=True, stem_wh=True,
+                         pm_trunk=True)(params, x))
+        np.testing.assert_array_equal(got, ref)
