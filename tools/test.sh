@@ -26,4 +26,8 @@ python -m resnet_accel_tpu verify \
 
 echo "== multichip dry run =="
 python __graft_entry__.py 8 >/dev/null
+
+echo "== chipless AOT compile check (Mosaic lowering + VMEM budgets) =="
+python tools/aot_check.py
+
 echo "ALL CI CHECKS PASSED"
