@@ -230,3 +230,49 @@ class TestPMTrunk:
             make_forward(model, use_pallas=True, stem_wh=True,
                          pm_trunk=True)(params, x))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestConvPMProperties:
+    """Hypothesis sweep of the pair-plane kernel over edge geometries:
+    tiny spatial dims (H=2 boundary pads dominate), narrow W, channel
+    counts off the 64 sweet spot, both epilogues."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        c=st.sampled_from([8, 16, 24]),
+        h2=st.integers(min_value=1, max_value=4),
+        w_sp=st.integers(min_value=1, max_value=5),
+        relu=st.booleans(),
+        with_res=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_pair_plane_matches_golden(self, c, h2, w_sp, relu,
+                                       with_res, seed):
+        rng = np.random.default_rng(seed)
+        n, h = 128, 2 * h2
+        x = rng.integers(-128, 128, size=(n, c, h, w_sp), dtype=np.int8)
+        w, bias, factors = _rand_layer(rng, c)
+        res = scales = None
+        if with_res:
+            res = rng.integers(-128, 128, size=(n, c, h, w_sp),
+                               dtype=np.int8)
+            # irregular mantissas: stay off the documented tie class
+            scales = tuple(float(s) for s in
+                           rng.uniform(0.02, 0.08, 3).astype(np.float32))
+            relu = False
+
+        ref = _golden_block(x, w, bias, factors, relu=relu,
+                            res=res, res_scales=scales)
+        g = conv_pm.pack_g3_pair(w.reshape(c, c * 9), c)
+        xe, xo = conv_pm.to_pm_planes(jnp.asarray(x))
+        kw = {}
+        if with_res:
+            kw = dict(residual=conv_pm.to_pm_planes(jnp.asarray(res)),
+                      res_scales=scales)
+        oe, oo = conv_pm.conv3x3_pm2(
+            xe, xo, jnp.asarray(g), jnp.asarray(bias),
+            jnp.asarray(factors), n=n, relu=relu, interpret=True, **kw)
+        got = np.asarray(conv_pm.from_pm_planes(oe, oo, n))
+        np.testing.assert_array_equal(got, ref)
