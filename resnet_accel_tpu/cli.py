@@ -51,7 +51,11 @@ def cmd_infer(args):
         calib = x[:4].astype(np.float32)
         model = quantize_resnet(fp32, calib, depth, args.num_classes,
                                 small_input=args.small_input)
-        eng = InferenceEngine(model, make_forward, backend=args.backend)
+        fwd_builder = make_forward
+        if args.pm_trunk:
+            import functools
+            fwd_builder = functools.partial(make_forward, pm_trunk=True)
+        eng = InferenceEngine(model, fwd_builder, backend=args.backend)
         res = eng.run_inference(x[:args.limit].astype(np.float32))
     for i, (pred, t5) in enumerate(zip(res.predictions, res.top5)):
         top = ", ".join(f"{c}:{p:.3f}" for c, p in t5[:3])
@@ -447,6 +451,11 @@ def build_parser():
     pi.add_argument("--backend", default=None)
     pi.add_argument("--num-classes", type=int, default=1000)
     pi.add_argument("--small-input", action="store_true")
+    pi.add_argument(
+        "--pm-trunk", action="store_true",
+        help="route eligible 64-channel identity blocks through the "
+             "pixel-major pair-plane conv kernels (resnet only; "
+             "batch must be a multiple of 128)")
     pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser("test", help="run the test suite")
