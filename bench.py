@@ -54,6 +54,11 @@ def _require_tpu(timeout_s: int = 300):
         raise RuntimeError(
             f"TPU tunnel init did not complete within {timeout_s}s — "
             "the tunnel endpoint is likely down") from None
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"").decode(errors="replace")[-500:]
+        raise RuntimeError(
+            f"TPU device init failed fast (rc={e.returncode}): "
+            f"{tail}") from None
 
 
 def main():

@@ -54,6 +54,11 @@ def cmd_infer(args):
         fwd_builder = make_forward
         if args.pm_trunk:
             import functools
+            n_run = min(args.limit, len(x))
+            if n_run % 128:
+                print(f"warning: --pm-trunk needs a batch that is a "
+                      f"multiple of 128; batch {n_run} falls back to "
+                      f"the standard conv path", file=sys.stderr)
             fwd_builder = functools.partial(make_forward, pm_trunk=True)
         eng = InferenceEngine(model, fwd_builder, backend=args.backend)
         res = eng.run_inference(x[:args.limit].astype(np.float32))
@@ -455,7 +460,8 @@ def build_parser():
         "--pm-trunk", action="store_true",
         help="route eligible 64-channel identity blocks through the "
              "pixel-major pair-plane conv kernels (resnet only; "
-             "batch must be a multiple of 128)")
+             "batches not a multiple of 128 fall back to the "
+             "standard path with a warning)")
     pi.set_defaults(fn=cmd_infer)
 
     pt = sub.add_parser("test", help="run the test suite")
@@ -570,18 +576,17 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    # When the user explicitly asked for a non-TPU backend, unregister
-    # the tunnel-backed plugin BEFORE any command touches jax — device
-    # init blocks forever if the tunnel endpoint is down (see
-    # runtime/backend._drop_tunnel_backend).
-    from resnet_accel_tpu.runtime.backend import (_drop_tunnel_backend,
-                                                  resolve_backend)
-    backend = getattr(args, "backend", None)
-    try:
-        if resolve_backend(backend) != "tpu":
-            _drop_tunnel_backend()
-    except ValueError:
-        pass  # let the command report the bad --backend itself
+    # When the user EXPLICITLY asked for a non-TPU backend (flag or env
+    # var — never inferred, which would itself dial the tunnel),
+    # unregister the tunnel-backed plugin BEFORE any command touches
+    # jax: device init blocks forever if the tunnel endpoint is down
+    # (see runtime/backend.drop_tunnel_backend).
+    explicit = (getattr(args, "backend", None)
+                or os.environ.get("RESNET_ACCEL_TPU_BACKEND"))
+    if explicit in ("cpu", "golden"):
+        from resnet_accel_tpu.runtime.backend import drop_tunnel_backend
+
+        drop_tunnel_backend()
     return args.fn(args)
 
 

@@ -707,9 +707,12 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     # C_out of 128 (the measured 64-channel conv ceiling,
     # docs/ARCHITECTURE.md §7).  Consecutive eligible blocks chain in
     # plane layout with zero relayouts; conv2 fuses the residual add.
-    # ``pm_trunk=None`` auto-enables on the TPU backend.
+    # ``pm_trunk=None`` currently means OFF everywhere: the v1 kernel
+    # measured slower than XLA's conv in context and v2's on-chip
+    # measurement is pending (tools/pm_bench.py) — flip this default
+    # to the TPU backend once v2 measures faster.
     if pm_trunk is None:
-        pm_trunk = False  # measured: off pending TPU perf validation
+        pm_trunk = False
     use_pm = pm_trunk and use_pallas and conv_method == "native"
     _PM_MAX_C = 64
 

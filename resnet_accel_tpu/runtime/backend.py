@@ -26,15 +26,21 @@ VALID_BACKENDS = ("tpu", "cpu", "golden")
 
 
 @functools.lru_cache(maxsize=None)
-def _drop_tunnel_backend() -> None:
-    """Unregister the tunnel-backed TPU plugin for CPU-only runs.
+def drop_tunnel_backend() -> None:
+    """Unregister the tunnel-backed TPU plugin for a CPU-ONLY process.
 
     jax initializes every registered platform on the first backends()
     call, so even a CPU-pinned run dials the TPU tunnel once at startup
     — and blocks forever in a GIL-holding C call if the tunnel endpoint
-    is down (observed).  When the user explicitly asked for cpu/golden,
-    never touch the tunnel.  No-op after any backend initialized, and
-    under a plain CPU install (no plugin registered)."""
+    is down (observed).  Call this ONLY when the whole process is
+    CPU-only by intent (hermetic tests, dryruns, CPU-pinned CLI runs):
+    it is process-wide and irreversible — a later backend="tpu" in the
+    same process would silently get CPU.  resolve_backend() therefore
+    does NOT call it; entry points that know the user's intent do
+    (tests/conftest.py, __graft_entry__.dryrun_multichip,
+    tools/aot_check.py, the CLI on an explicit non-TPU backend).
+    No-op after any backend initialized, and under a plain CPU install
+    (no plugin registered)."""
     try:
         from jax._src import xla_bridge as _xb
 
@@ -49,14 +55,12 @@ def _drop_tunnel_backend() -> None:
 
 
 def resolve_backend(backend: Optional[str] = None) -> str:
-    """Resolve the effective backend name."""
+    """Resolve the effective backend name.  Side-effect free."""
     b = backend or os.environ.get("RESNET_ACCEL_TPU_BACKEND")
     if b is None:
         b = "tpu" if _accelerator_available() else "cpu"
     if b not in VALID_BACKENDS:
         raise ValueError(f"unknown backend {b!r}; expected {VALID_BACKENDS}")
-    if b in ("cpu", "golden"):
-        _drop_tunnel_backend()
     return b
 
 

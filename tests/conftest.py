@@ -39,13 +39,9 @@ os.environ["RESNET_ACCEL_TPU_BACKEND"] = "cpu"
 # make_c_api_client if the tunnel endpoint is down (observed: a wedged
 # claim blocks even pure-CPU jnp ops).  The suite is CPU-hermetic by
 # design; dropping the factory removes the tunnel as a failure mode.
-try:
-    from jax._src import xla_bridge as _xb
+from resnet_accel_tpu.runtime.backend import drop_tunnel_backend  # noqa: E402
 
-    _xb._backend_factories.pop("axon", None)
-    jax.config.update("jax_platforms", "cpu")
-except Exception:  # jax internals moved — fall back to device pinning
-    pass
+drop_tunnel_backend()
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:  # no cpu backend registered — leave default

@@ -21,19 +21,10 @@ import numpy as np
 
 # Never touch the tunnel: the sitecustomize-registered axon plugin would
 # otherwise initialize on the first backends() call (hang or UNAVAILABLE
-# when the tunnel is down).  Mirrors tests/conftest.py.
-def _drop_axon():
-    try:
-        import jax
-        from jax._src import xla_bridge as _xb
+# when the tunnel is down).
+from resnet_accel_tpu.runtime.backend import drop_tunnel_backend  # noqa: E402
 
-        _xb._backend_factories.pop("axon", None)
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
-
-
-_drop_axon()
+drop_tunnel_backend()
 
 
 def get_topology():
