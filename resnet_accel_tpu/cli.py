@@ -105,9 +105,12 @@ def cmd_bench(args):
             import time as _time
             Wc = rng.integers(-128, 128, (n, n)).astype(np.int32)
             Ac = rng.integers(-128, 128, (M, n)).astype(np.int32)
-            t0 = _time.perf_counter()
-            _ = Ac @ Wc.T
-            cpu_dt = _time.perf_counter() - t0
+            _ = Ac @ Wc.T  # warm-up: page faults + allocator
+            cpu_dt = float("inf")
+            for _ in range(3):  # best-of-3, like the accel's median
+                t0 = _time.perf_counter()
+                _ = Ac @ Wc.T
+                cpu_dt = min(cpu_dt, _time.perf_counter() - t0)
         for sp in sparsities:
             W = rng.integers(-128, 128, (n, n)).astype(np.int8)
             nb = n // 128

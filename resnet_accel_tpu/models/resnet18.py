@@ -405,9 +405,11 @@ def quantize_resnet18(
     # ---- 2. calibrate activation scales ---------------------------------
     calib_x = np.asarray(calib_x, np.float32)
     bs = len(calib_x) if calib_batch_size is None else int(calib_batch_size)
+    if bs < 1:
+        raise ValueError(f"calib_batch_size must be >= 1, got {bs}")
     maxima: Dict[str, float] = {}
     with jax.default_device(jax.devices("cpu")[0]):
-        for i in range(0, len(calib_x), max(bs, 1)):
+        for i in range(0, len(calib_x), bs):
             _, taps = _float_forward_taps(
                 folded, jnp.asarray(calib_x[i:i + bs], jnp.float32),
                 small_input, stages=stages, bottleneck=bottleneck)

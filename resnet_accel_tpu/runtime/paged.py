@@ -61,6 +61,12 @@ class PagedKVBatcher:
                  pool_pages: int = 64, max_pages: Optional[int] = None,
                  chunk: int = 8, temperature: float = 0.0,
                  top_k: Optional[int] = None):
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        if page < 1:
+            raise ValueError("page must be >= 1")
         self.model = model
         self.scales = scales
         self.slots = int(slots)

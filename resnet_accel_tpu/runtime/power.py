@@ -86,9 +86,15 @@ def probe_live_telemetry() -> dict:
             "available" if isinstance(ms, dict) and ms else "none")
     except Exception as e:  # no device at all
         status["pjrt_memory_stats"] = f"error: {e}"
-    rails = [p for p in glob.glob("/sys/class/hwmon/hwmon*/name")
-             if "tpu" in open(p).read().lower()] \
-        if os.path.isdir("/sys/class/hwmon") else []
+    rails = []
+    if os.path.isdir("/sys/class/hwmon"):
+        for p in glob.glob("/sys/class/hwmon/hwmon*/name"):
+            try:  # device may vanish / be unreadable between glob+open
+                with open(p) as f:
+                    if "tpu" in f.read().lower():
+                        rails.append(p)
+            except OSError:
+                continue
     status["hwmon_rails"] = rails or "none"
     try:
         with socket.create_connection(("127.0.0.1", 8431), timeout=0.2):

@@ -169,12 +169,20 @@ def main():
     # Progressive prune -> masked fine-tune (the reference's
     # progressive_sparsity schedule, scaled to this corpus size).
     pruned = dict(params)
+    # Freeze-masks go on the PRUNED projections only (the keys
+    # prune_lm_blockwise actually touches): diffing against the original
+    # dense params would, after the first fine-tune, mask EVERY trained
+    # tensor and freeze any exactly-zero element of unpruned tensors
+    # (zero-init biases) at 0.
+    from resnet_accel_tpu.train.lm import PROJ_NAMES
+    n_layers = int(params["meta"][0])
+    pruned_keys = {f"b{i}.{n}" for i in range(n_layers)
+                   for n in PROJ_NAMES}
     for frac, ft_steps in [(SPARSITY / 2, 300), (SPARSITY, 500)]:
         pruned = prune_lm_blockwise(pruned, frac, block=BLOCK)
         # The prune leaves exact zero blocks; freeze them via masks.
         masks = {k: jnp.asarray((pruned[k] != 0).astype(np.float32))
-                 for k in train_keys
-                 if not np.array_equal(pruned[k], params[k])}
+                 for k in train_keys if k in pruned_keys}
         tp = {k: jnp.asarray(pruned[k]) for k in train_keys}
         state = opt.init(tp)
         tp, state = run_steps(tp, state, ft_steps, masks,
