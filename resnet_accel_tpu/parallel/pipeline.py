@@ -50,6 +50,16 @@ def make_pipeline_forward(
     ``jax.eval_shape`` at trace time, so stages may change shape freely
     (flatten, project, reshape...).
 
+    SEMANTICS CAVEAT: each stage sees one MICROBATCH at a time, so the
+    pipelined forward equals the unsharded stack only for stages that
+    act row-independently (the MNIST CNN does).  Stages that mix rows —
+    the transformer blocks attend across the microbatch axis and pick
+    dynamic quantization scales per call — produce microbatch-size-
+    dependent outputs: fwd(x) with microbatch=2 differs from
+    microbatch=4 and from blocks(x) on the full batch.  That mirrors
+    the reference's per-microbatch execution; pick ``microbatch`` as a
+    model choice (the attention window), not a free throughput knob.
+
     Returns ``fwd(x) -> out`` where ``x`` is the full batch (leading
     dim a multiple of ``microbatch``) and ``out`` is the last stage's
     output for the full batch, replicated on every rank.

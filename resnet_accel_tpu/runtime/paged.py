@@ -38,10 +38,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from resnet_accel_tpu.runtime.serving import _Request
+from resnet_accel_tpu.runtime.serving import (_IterationScheduler,
+                                              _Request)
 
 
-class PagedKVBatcher:
+class PagedKVBatcher(_IterationScheduler):
     """Continuous batcher over a paged KV pool.
 
     Args:
@@ -174,24 +175,15 @@ class PagedKVBatcher:
     def submit(self, prompt: Sequence[int], n_new: int,
                seed: int = 0, eos: Optional[int] = None) -> int:
         """Enqueue a request; admitted when enough KV pages are free."""
-        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
-        if not prompt:
-            raise ValueError("empty prompt")
-        if len(prompt) + n_new > self.max_len:
-            raise ValueError(
-                f"prompt ({len(prompt)}) + n_new ({n_new}) exceeds the "
-                f"block-table capacity ({self.max_len})")
+        prompt = self._validated_prompt(prompt, n_new,
+                                        "the block-table capacity")
         need = -(-(len(prompt) + n_new) // self.page)
         if need > self.pool_pages - 1:
             raise ValueError(
                 f"request needs {need} KV pages but the pool only has "
                 f"{self.pool_pages - 1} allocatable — it could never "
                 "be admitted")
-        rid = self._next_rid
-        self._next_rid += 1
-        self._queue.append(_Request(rid, prompt, n_new, seed=seed,
-                                    eos=eos))
-        return rid
+        return self._enqueue(prompt, n_new, seed, eos)
 
     def _pages_needed(self, req: _Request) -> int:
         return -(-(len(req.prompt) + req.n_new) // self.page)
@@ -218,67 +210,27 @@ class PagedKVBatcher:
             self._keys = self._keys.at[slot].set(
                 jax.random.PRNGKey(req.seed))
 
-    def _release(self, slot: int) -> None:
+    def _on_slot_free(self, slot: int) -> None:
+        """Scheduler hook: return a finished request's pages."""
         self._free.extend(self._slot_pages.pop(slot, []))
         self._tables = self._tables.at[slot].set(
             jnp.zeros(self.max_pages, jnp.int32))
 
     def step_engine(self) -> bool:
         """One engine iteration (ONE device dispatch).  Returns False
-        when idle.  Identical scheduling semantics to
-        ContinuousBatcher.step_engine, plus page admission/release."""
+        when idle.  Scheduling is the shared _IterationScheduler; this
+        adds page admission/release around it."""
         self._admit()
         if not self._active:
             return bool(self._queue)
 
-        k = self.chunk
-        forced = np.zeros((k, self.slots), np.int32)
-        mask = np.zeros((k, self.slots), bool)
-        advance = np.zeros((k, self.slots), bool)
-        for slot, req in self._active.items():
-            rem = req.prompt[req.fed:req.fed + k]
-            forced[:len(rem), slot] = rem
-            mask[:len(rem), slot] = True
-            first = max(len(req.prompt) - 1 - req.fed, 0)
-            advance[first:, slot] = True
-        idle = np.array([s not in self._active
-                         for s in range(self.slots)])
-
+        forced, mask, advance, idle = self._chunk_inputs()
         (self._pool_k, self._pool_v, self._lens, self._keys,
          outs) = self._chunk_step(
             self._pool_k, self._pool_v, self._tables, self._lens,
             jnp.asarray(self._prev), self._keys, jnp.asarray(forced),
             jnp.asarray(mask), jnp.asarray(advance), jnp.asarray(idle))
         self.steps += 1
-        self.micro_steps += k
-        outs = np.asarray(outs)
-        self._prev = outs[-1].copy()
-
-        for slot in list(self._active):
-            req = self._active[slot]
-            for i in range(k):
-                if req.prefilling:
-                    req.fed += 1
-                    if not req.prefilling:
-                        req.out.append(int(outs[i, slot]))
-                elif not req.done:
-                    req.out.append(int(outs[i, slot]))
-            if req.done:
-                self._results[req.rid] = req.out[:req.n_new]
-                del self._active[slot]
-                self._release(slot)
+        self.micro_steps += self.chunk
+        self._account_outputs(outs)
         return bool(self._active or self._queue)
-
-    def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
-        """Drain the queue; returns and clears completed results."""
-        for _ in range(max_steps):
-            if not self.step_engine():
-                break
-        else:
-            raise RuntimeError(
-                f"engine did not drain in {max_steps} steps")
-        out, self._results = self._results, {}
-        return out
-
-    def results(self) -> Dict[int, List[int]]:
-        return dict(self._results)

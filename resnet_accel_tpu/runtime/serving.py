@@ -65,7 +65,98 @@ class _Request:
             and self.out[-1] == self.eos
 
 
-class ContinuousBatcher:
+class _IterationScheduler:
+    """Host-side iteration-level scheduler shared by the fixed-slot and
+    paged engines (runtime/paged.py): chunk input construction, output
+    accounting, queue drain.  Subclasses own slot admission (and, for
+    the paged engine, page allocation) plus the jitted device step;
+    everything request-shaped lives here so scheduling fixes land in
+    ONE place.
+
+    Subclass contract: attributes ``slots``, ``chunk``, ``max_len``,
+    ``_queue``, ``_active``, ``_results``, ``_prev``, ``_next_rid``;
+    optional hook ``_on_slot_free(slot)`` runs when a finished request
+    leaves its slot."""
+
+    def _validated_prompt(self, prompt: Sequence[int], n_new: int,
+                          what: str) -> List[int]:
+        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + n_new > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + n_new ({n_new}) exceeds "
+                f"{what} ({self.max_len})")
+        return prompt
+
+    def _enqueue(self, prompt: List[int], n_new: int, seed: int,
+                 eos: Optional[int]) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, prompt, n_new, seed=seed,
+                                    eos=eos))
+        return rid
+
+    def _chunk_inputs(self):
+        """(forced, mask, advance, idle) numpy arrays for one chunk."""
+        k = self.chunk
+        forced = np.zeros((k, self.slots), np.int32)
+        mask = np.zeros((k, self.slots), bool)
+        advance = np.zeros((k, self.slots), bool)
+        for slot, req in self._active.items():
+            rem = req.prompt[req.fed:req.fed + k]
+            forced[:len(rem), slot] = rem
+            mask[:len(rem), slot] = True
+            # outputs are consumed from the last prompt step onward
+            first = max(len(req.prompt) - 1 - req.fed, 0)
+            advance[first:, slot] = True
+        idle = np.array([s not in self._active
+                         for s in range(self.slots)])
+        return forced, mask, advance, idle
+
+    def _account_outputs(self, outs) -> None:
+        """Distribute chunk outputs to requests; retire finished ones."""
+        outs = np.asarray(outs)                      # [k, B]
+        self._prev = outs[-1].copy()
+        for slot in list(self._active):
+            req = self._active[slot]
+            for i in range(self.chunk):
+                if req.prefilling:
+                    req.fed += 1
+                    if not req.prefilling:
+                        # last prompt token's logits start generation
+                        req.out.append(int(outs[i, slot]))
+                elif not req.done:
+                    req.out.append(int(outs[i, slot]))
+            if req.done:
+                self._results[req.rid] = req.out[:req.n_new]
+                del self._active[slot]
+                self._on_slot_free(slot)
+
+    def _on_slot_free(self, slot: int) -> None:
+        pass
+
+    def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
+        """Drain the queue; returns {request id: generated tokens} for
+        every request completed since the last run(), then clears them
+        (so a long-lived engine does not accumulate results without
+        bound)."""
+        for _ in range(max_steps):
+            if not self.step_engine():
+                break
+        else:
+            raise RuntimeError(f"engine did not drain in {max_steps} "
+                               "steps")
+        out, self._results = self._results, {}
+        return out
+
+    def results(self) -> Dict[int, List[int]]:
+        """Snapshot of completed-but-uncollected requests (cleared by
+        run())."""
+        return dict(self._results)
+
+
+class ContinuousBatcher(_IterationScheduler):
     """Fixed-pool continuous batching over an INT8 LM.
 
     Args:
@@ -187,18 +278,9 @@ class ContinuousBatcher:
         ``model.sample(..., jax.random.PRNGKey(seed))``); unused in
         greedy mode.  ``eos``: generation stops early once this token
         is emitted (it is included in the result)."""
-        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
-        if not prompt:
-            raise ValueError("empty prompt")
-        if len(prompt) + n_new > self.max_len:
-            raise ValueError(
-                f"prompt ({len(prompt)}) + n_new ({n_new}) exceeds "
-                f"slot cache length ({self.max_len})")
-        rid = self._next_rid
-        self._next_rid += 1
-        self._queue.append(_Request(rid, prompt, n_new, seed=seed,
-                                    eos=eos))
-        return rid
+        prompt = self._validated_prompt(prompt, n_new,
+                                        "slot cache length")
+        return self._enqueue(prompt, n_new, seed, eos)
 
     def step_engine(self) -> bool:
         """One engine iteration (ONE device dispatch): admit waiting
@@ -221,59 +303,12 @@ class ContinuousBatcher:
         if not self._active:
             return False
 
-        k = self.chunk
-        forced = np.zeros((k, self.slots), np.int32)
-        mask = np.zeros((k, self.slots), bool)
-        advance = np.zeros((k, self.slots), bool)
-        for slot, req in self._active.items():
-            rem = req.prompt[req.fed:req.fed + k]
-            forced[:len(rem), slot] = rem
-            mask[:len(rem), slot] = True
-            # outputs are consumed from the last prompt step onward
-            first = max(len(req.prompt) - 1 - req.fed, 0)
-            advance[first:, slot] = True
-
-        idle = np.array([s not in self._active
-                         for s in range(self.slots)])
+        forced, mask, advance, idle = self._chunk_inputs()
         self.caches, self._keys, outs = self._chunk_step(
             self.caches, jnp.asarray(self._prev), self._keys,
             jnp.asarray(forced), jnp.asarray(mask),
             jnp.asarray(advance), jnp.asarray(idle))
         self.steps += 1
-        self.micro_steps += k
-        outs = np.asarray(outs)                      # [k, B]
-        self._prev = outs[-1].copy()
-
-        for slot in list(self._active):
-            req = self._active[slot]
-            for i in range(k):
-                if req.prefilling:
-                    req.fed += 1
-                    if not req.prefilling:
-                        # last prompt token's logits start generation
-                        req.out.append(int(outs[i, slot]))
-                elif not req.done:
-                    req.out.append(int(outs[i, slot]))
-            if req.done:
-                self._results[req.rid] = req.out[:req.n_new]
-                del self._active[slot]
+        self.micro_steps += self.chunk
+        self._account_outputs(outs)
         return bool(self._active or self._queue)
-
-    def run(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
-        """Drain the queue; returns {request id: generated tokens} for
-        every request completed since the last run(), then clears them
-        (so a long-lived engine does not accumulate results without
-        bound)."""
-        for _ in range(max_steps):
-            if not self.step_engine():
-                break
-        else:
-            raise RuntimeError(f"engine did not drain in {max_steps} "
-                               "steps")
-        out, self._results = self._results, {}
-        return out
-
-    def results(self) -> Dict[int, List[int]]:
-        """Snapshot of completed-but-uncollected requests (cleared by
-        run())."""
-        return dict(self._results)

@@ -87,6 +87,15 @@ def main():
                        lambda fwd=fwd: jax.jit(fwd).lower(
                            pshapes, x).compile()))
 
+    # Batch 32 disqualifies the NM stem's 128-lane gate, forcing the WH
+    # stem kernel (ops/stem_pack._kernel_wh) — whose bitcast parity
+    # split has NO hermetic execution coverage (interpret mode takes
+    # the plain-composition early-return), so compile-check it here.
+    fwd_wh = make_forward(model, use_pallas=True, backend="tpu")
+    x32 = spec((32, 3, 224, 224), jnp.float32)
+    checks.append(("resnet18_fwd_b32_whstem",
+                   lambda: jax.jit(fwd_wh).lower(pshapes, x32).compile()))
+
     failed = 0
     for name, run in checks:
         try:
