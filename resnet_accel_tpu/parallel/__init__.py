@@ -16,6 +16,11 @@ from resnet_accel_tpu.parallel.pipeline import (
     mnist_pipeline_stages,
     transformer_pipeline_stages,
 )
+from resnet_accel_tpu.parallel.combined import (
+    make_combined_mesh,
+    make_combined_forward,
+    make_combined_train_step,
+)
 from resnet_accel_tpu.parallel.sequence import make_sp_transformer_forward
 from resnet_accel_tpu.parallel.experts import make_ep_moe_forward
 from resnet_accel_tpu.parallel.heads import make_tp_transformer_forward
@@ -31,6 +36,9 @@ __all__ = [
     "make_pipeline_forward",
     "mnist_pipeline_stages",
     "transformer_pipeline_stages",
+    "make_combined_mesh",
+    "make_combined_forward",
+    "make_combined_train_step",
     "make_sp_transformer_forward",
     "make_ep_moe_forward",
     "make_tp_transformer_forward",
