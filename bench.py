@@ -116,11 +116,36 @@ def main():
     l1, lc = make_loop(1), make_loop(CHAIN)
     per_batch = median_pair_time(l1, lc, x, CHAIN, ITERS)
     images_per_s = BATCH / per_batch
+
+    # Power line: measured duty cycle (achieved fraction of int8 peak,
+    # from the throughput just measured) drives the modeled chip power;
+    # probe_live_telemetry re-scans for a real watts source every run so
+    # the label flips from modeled the day one appears (the reference
+    # reads real XADC rails, sw/host/power_profiling.py:33-100).
+    from resnet_accel_tpu.runtime.perf import get_platform
+    from resnet_accel_tpu.runtime.power import (
+        estimate_power, probe_live_telemetry)
+    OPS_PER_IMAGE = int(1.82e9 * 2)   # 1.82 GMACs/img (DEEP_DIVE.md:247)
+    plat = get_platform()
+    util = images_per_s * OPS_PER_IMAGE / plat.peak_int8_ops
+    telemetry = probe_live_telemetry()
+    live = [k for k, v in telemetry.items()
+            if v not in ("none",) and not str(v).startswith("error")
+            and k != "pjrt_memory_stats"]
+    prof = estimate_power(
+        "resnet18_int8_bench", duration_s=per_batch,
+        total_ops=OPS_PER_IMAGE * BATCH, utilization=util)
+    print(f"power: {prof.report()} | duty={util:.1%} | "
+          f"source={'live:' + ','.join(live) if live else 'modeled-TDP'}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",
         "value": round(images_per_s, 1),
         "unit": "images/s",
         "vs_baseline": round(images_per_s / REFERENCE_IMAGES_PER_S, 2),
+        "power_w": round(prof.avg_w, 1),
+        "gops_per_w": round(prof.gops_per_w, 1),
+        "power_source": ("live:" + ",".join(live)) if live else "modeled",
     }))
 
 

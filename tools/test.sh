@@ -30,4 +30,14 @@ python __graft_entry__.py 8 >/dev/null
 echo "== chipless AOT compile check (Mosaic lowering + VMEM budgets) =="
 python tools/aot_check.py
 
+echo "== power telemetry source scan =="
+# Re-probe every CI run so a real watts source (hwmon rail, libtpu
+# metrics service) flips the power model off `modeled` the day the
+# environment grows one.  CPU-pinned + hard timeout: the probe must
+# never hang CI on a dead TPU tunnel.
+timeout 60 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -c "
+from resnet_accel_tpu.runtime.power import probe_live_telemetry
+import json; print(json.dumps(probe_live_telemetry()))" \
+  || echo '{\"probe\": \"timed out\"}'
+
 echo "ALL CI CHECKS PASSED"
