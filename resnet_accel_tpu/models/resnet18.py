@@ -363,6 +363,7 @@ def quantize_resnet18(
     stages=None,
     bottleneck: bool = False,
     calib_batch_size: Optional[int] = None,
+    calib_percentile: Optional[float] = None,
 ) -> ResNet18Int8:
     """Fold BN, quantize per-channel INT8, calibrate activation scales.
 
@@ -372,6 +373,10 @@ def quantize_resnet18(
     the reference's N-batch ``calibrate_activations``
     (sw/INT8 quantization/quantize_resnet18.py:163) — so large real
     calibration sets fit in host memory.
+    ``calib_percentile`` (e.g. 99.9) clips each tap's range to that
+    per-batch |x| percentile (max across batches) instead of the raw
+    abs-max, the reference calibrator's outlier-clipping discipline
+    (quantize_resnet18.py:103-160); outliers then saturate at +-127.
     ``stages``/``bottleneck`` generalize to the deeper family
     (models/resnet.py); defaults are ResNet-18.
     """
@@ -414,7 +419,9 @@ def quantize_resnet18(
                 folded, jnp.asarray(calib_x[i:i + bs], jnp.float32),
                 small_input, stages=stages, bottleneck=bottleneck)
             for k, v in taps.items():
-                m = float(np.abs(np.asarray(v)).max())
+                av = np.abs(np.asarray(v))
+                m = (float(np.percentile(av, calib_percentile))
+                     if calib_percentile is not None else float(av.max()))
                 maxima[k] = max(maxima.get(k, 0.0), m)
 
     def scale_from_max(m):

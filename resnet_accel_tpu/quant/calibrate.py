@@ -20,24 +20,39 @@ from resnet_accel_tpu.config import SCALE_EPS
 
 @dataclasses.dataclass
 class TapRange:
-    """Observed range for one activation tap."""
+    """Observed range for one activation tap.
+
+    ``percentile`` (e.g. 99.9) enables clipped calibration: the range is
+    the max over batches of each batch's |x| percentile instead of the
+    raw abs-max, so one outlier activation does not blow up the scale
+    (the reference clips the same way in its ActivationCalibrator,
+    sw/INT8 quantization/quantize_resnet18.py:103-160).  Values past the
+    clip saturate at +-127 in the requant path by construction.
+    """
 
     min: float = float("inf")
     max: float = float("-inf")
     absmax: float = 0.0
     batches: int = 0
+    percentile: float = None  # None => pure abs-max
+    clipped: float = 0.0      # max over batches of per-batch percentile
 
     def update(self, x: np.ndarray) -> None:
         x = np.asarray(x)
         self.min = min(self.min, float(x.min()))
         self.max = max(self.max, float(x.max()))
-        self.absmax = max(self.absmax, float(np.abs(x).max()))
+        ax = np.abs(x)
+        self.absmax = max(self.absmax, float(ax.max()))
+        if self.percentile is not None:
+            self.clipped = max(
+                self.clipped, float(np.percentile(ax, self.percentile)))
         self.batches += 1
 
     @property
     def symmetric_scale(self) -> float:
         """Symmetric per-tensor INT8 scale (quantize.py:55 formula)."""
-        return max(self.absmax / 127.0, SCALE_EPS)
+        rng = self.clipped if self.percentile is not None else self.absmax
+        return max(rng / 127.0, SCALE_EPS)
 
     @property
     def asymmetric_scale_zp(self):
@@ -57,12 +72,15 @@ class ActivationCalibrator:
         scales = calib.scales()
     """
 
-    def __init__(self) -> None:
+    def __init__(self, percentile: float = None) -> None:
+        self.percentile = percentile
         self.ranges: Dict[str, TapRange] = {}
 
     def observe(self, taps: Mapping[str, np.ndarray]) -> None:
         for name, act in taps.items():
-            self.ranges.setdefault(name, TapRange()).update(np.asarray(act))
+            self.ranges.setdefault(
+                name, TapRange(percentile=self.percentile),
+            ).update(np.asarray(act))
 
     def scales(self) -> Dict[str, float]:
         """Symmetric per-tensor INT8 scale per tap."""

@@ -37,6 +37,7 @@ from resnet_accel_tpu.train.blocksparse import (
     make_mask_fn,
     make_group_lasso_fn,
     sparsity_of_masks,
+    effective_sparsity,
     progressive_prune,
 )
 
@@ -69,5 +70,6 @@ __all__ = [
     "make_mask_fn",
     "make_group_lasso_fn",
     "sparsity_of_masks",
+    "effective_sparsity",
     "progressive_prune",
 ]

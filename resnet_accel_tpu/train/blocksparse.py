@@ -71,25 +71,44 @@ def prune_blocks_global(
     params: Mapping[str, np.ndarray],
     target_sparsity: float,
     cfgs: Mapping[str, BlockCfg],
+    normalize: bool = False,
+    by_params: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Rank ALL blocks across layers by L2 norm, zero the weakest.
 
     Per-layer keep floors are honored: a layer never drops below
     cfg.min_keep of its blocks (prune_blocks_global :141-239).
 
+    ``normalize=True`` ranks by RMS (norm / sqrt(block elements)) so
+    layers with different block sizes compare fairly: a 128x128 block
+    has a ~4x larger raw L2 norm than a 32x32 block at the same
+    per-element magnitude, which would otherwise shield the big layers
+    (where the parameters actually live) from pruning.  With uniform
+    block sizes the two rankings are identical.
+
+    ``by_params=True`` interprets ``target_sparsity`` as the fraction of
+    WEIGHTS to zero rather than the fraction of blocks, so a schedule
+    level of 0.9 lands on 90% parameter-weighted effective sparsity
+    (what effective_sparsity() measures) even with mixed block sizes.
+
     Returns {layer_name: boolean keep-mask [nbr, nbc]}.
     """
     entries = []  # (norm, layer, br, bc)
     geom = {}
+    elems = {name: cfgs[name].block_h * cfgs[name].block_w
+             for name in cfgs}
     for name, cfg in cfgs.items():
         norms, (nbr, nbc) = compute_block_norms(params[name], cfg)
+        if normalize:
+            norms = norms / np.sqrt(cfg.block_h * cfg.block_w)
         geom[name] = (nbr, nbc)
         for br in range(nbr):
             for bc in range(nbc):
                 entries.append((norms[br, bc], name, br, bc))
 
-    total = len(entries)
-    n_prune = int(total * target_sparsity)
+    weight = (lambda name: elems[name]) if by_params else (lambda name: 1)
+    total = sum(weight(name) for _, name, _, _ in entries)
+    budget = total * target_sparsity
     entries.sort(key=lambda e: e[0])
 
     masks = {name: np.ones(geom[name], dtype=bool) for name in cfgs}
@@ -100,13 +119,15 @@ def prune_blocks_global(
 
     pruned = 0
     for norm, name, br, bc in entries:
-        if pruned >= n_prune:
+        if pruned + weight(name) > budget:
+            if by_params:
+                continue  # a smaller later block may still fit
             break
         if kept[name] - 1 < floors[name]:
             continue  # keep floor reached for this layer
         masks[name][br, bc] = False
         kept[name] -= 1
-        pruned += 1
+        pruned += weight(name)
     return masks
 
 
@@ -166,6 +187,28 @@ def make_group_lasso_fn(
 def sparsity_of_masks(masks: Mapping[str, np.ndarray]) -> float:
     total = sum(m.size for m in masks.values())
     kept = sum(int(m.sum()) for m in masks.values())
+    return 1.0 - kept / total if total else 0.0
+
+
+def effective_sparsity(
+    masks: Mapping[str, np.ndarray],
+    cfgs: Mapping[str, BlockCfg],
+    shapes: Mapping[str, Tuple[int, ...]],
+) -> float:
+    """PARAMETER-weighted sparsity: zeroed weights / total weights.
+
+    ``sparsity_of_masks`` counts blocks uniformly, which misstates the
+    model-level sparsity when layers use different block sizes (a
+    128x128 block holds 16x the weights of a 32x32 block).  This counts
+    actual zeroed elements of each real (unpadded) weight shape — the
+    number that determines both model compression and zero-skip speedup.
+    """
+    total = kept = 0
+    for name, mask in masks.items():
+        cfg, shape = cfgs[name], shapes[name]
+        dense = expand_mask(mask, cfg, shape)
+        total += dense.size
+        kept += int(dense.sum())
     return 1.0 - kept / total if total else 0.0
 
 

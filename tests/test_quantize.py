@@ -110,6 +110,22 @@ class TestCalibration:
         assert len(seen) == 5
         assert calib.ranges["a"].max == 4.0
 
+    def test_percentile_clips_outliers(self):
+        calib = ActivationCalibrator(percentile=99.0)
+        x = np.ones(1000, np.float32)
+        x[0] = 1000.0  # one outlier
+        calib.observe({"t": x})
+        r = calib.ranges["t"]
+        assert r.absmax == 1000.0          # raw range still tracked
+        assert r.clipped < 10.0            # clip ignores the outlier
+        assert r.symmetric_scale < 10.0 / 127.0
+
+    def test_percentile_none_is_absmax(self):
+        calib = ActivationCalibrator()
+        calib.observe({"t": np.array([-3.0, 1.0])})
+        assert abs(calib.ranges["t"].symmetric_scale
+                   - 3.0 / 127.0) < 1e-9
+
     def test_asymmetric_scale_zp(self):
         calib = ActivationCalibrator()
         calib.observe({"t": np.array([0.0, 5.1])})

@@ -58,6 +58,33 @@ class TestQuantize:
         for blk in model.blocks:
             assert blk.conv1.relu and not blk.conv2.relu
 
+    def test_percentile_calibration_tightens_scales(self, cifar_model):
+        params, calib, model = cifar_model
+        clipped = quantize_resnet18(params, calib, num_classes=10,
+                                    small_input=True,
+                                    calib_percentile=99.0)
+        # p100 == abs-max (same scales as the default path)
+        p100 = quantize_resnet18(params, calib, num_classes=10,
+                                 small_input=True,
+                                 calib_percentile=100.0)
+        np.testing.assert_allclose(
+            np.asarray(p100.stem.factors),
+            np.asarray(model.stem.factors), rtol=1e-6)
+        # p99 clips: every requant factor scales DOWN or stays — output
+        # scale shrinks, so at least one layer's factors must differ
+        assert not np.allclose(np.asarray(clipped.stem.factors),
+                               np.asarray(model.stem.factors))
+        # and the clipped model still predicts like the unclipped one
+        rng = np.random.default_rng(7)
+        x = rng.normal(0, 1, (8, 3, 32, 32)).astype(np.float32)
+        import jax
+        with jax.default_device(jax.devices("cpu")[0]):
+            a = np.asarray(make_forward(model, use_pallas=False)(
+                model.as_device_params(), jnp.asarray(x))).argmax(-1)
+            b = np.asarray(make_forward(clipped, use_pallas=False)(
+                clipped.as_device_params(), jnp.asarray(x))).argmax(-1)
+        assert (a == b).mean() >= 0.75
+
     def test_int8_accuracy_vs_float(self, cifar_model):
         params, calib, model = cifar_model
         import jax

@@ -8,6 +8,7 @@ import pytest
 from resnet_accel_tpu.train import (
     BlockCfg,
     compute_block_norms,
+    effective_sparsity,
     expand_mask,
     init_mnist_params,
     make_group_lasso_fn,
@@ -71,6 +72,53 @@ class TestPruning:
         out = np.asarray(fn(params)["w"])
         assert np.all(out[:8, 8:] == 0) and np.all(out[8:, :8] == 0)
         assert np.any(out[:8, :8] != 0)
+
+    def test_normalized_ranking_is_size_fair(self):
+        # Same per-element RMS everywhere; the raw ranking would prune
+        # ALL small blocks before any big one (bigger raw L2), the RMS
+        # ranking treats them equally.
+        rng = np.random.default_rng(2)
+        params = {
+            "big": rng.normal(size=(16, 16)).astype(np.float32),
+            "small": rng.normal(size=(16, 16)).astype(np.float32),
+        }
+        cfgs = {"big": BlockCfg(16, 16, 0.0),
+                "small": BlockCfg(4, 4, 0.0)}
+        raw = prune_blocks_global(params, 0.05, cfgs)
+        # raw: the single big block (norm ~16) survives; weakest small
+        # blocks (norm ~4) go first
+        assert raw["big"].all()
+        norm = prune_blocks_global(params, 0.5, cfgs, normalize=True)
+        # normalized at 50%: small blocks span the RMS distribution, so
+        # SOME survive even though all big-block raw norms exceed them
+        assert norm["small"].any()
+
+    def test_by_params_targets_weight_fraction(self):
+        rng = np.random.default_rng(3)
+        params = {
+            "big": rng.normal(size=(128, 128)).astype(np.float32),
+            "small": rng.normal(size=(32, 32)).astype(np.float32),
+        }
+        cfgs = {"big": BlockCfg(32, 32, 0.0),
+                "small": BlockCfg(8, 8, 0.0)}
+        shapes = {k: v.shape for k, v in params.items()}
+        for target in (0.5, 0.9):
+            masks = prune_blocks_global(params, target, cfgs,
+                                        normalize=True, by_params=True)
+            eff = effective_sparsity(masks, cfgs, shapes)
+            assert abs(eff - target) < 0.03, (target, eff)
+
+    def test_effective_sparsity_weights_by_elements(self):
+        # one big layer fully pruned + one small fully kept: block count
+        # says 50%, parameters say ~94%.
+        cfgs = {"big": BlockCfg(32, 32, 0.0),
+                "small": BlockCfg(8, 8, 0.0)}
+        shapes = {"big": (32, 32), "small": (8, 8)}
+        masks = {"big": np.zeros((1, 1), bool),
+                 "small": np.ones((1, 1), bool)}
+        assert sparsity_of_masks(masks) == 0.5
+        eff = effective_sparsity(masks, cfgs, shapes)
+        assert abs(eff - 1024 / (1024 + 64)) < 1e-6
 
     def test_group_lasso_positive_and_differentiable(self):
         import jax
