@@ -97,7 +97,13 @@ def main():
                 out = base(params, carry)
                 # Data dependency: an epsilon of the logits folds into
                 # the next input, serializing iterations without
-                # changing the work per forward.
+                # changing the work per forward.  The fold is a full
+                # input-tensor add (~40 us/iter measured) — kept
+                # deliberately: every real serving iteration ingests a
+                # fresh input from HBM, and a carry that skips the
+                # input (e.g. through the fc epilogue) lets XLA hoist
+                # the whole conv stack out of the loop (measured: the
+                # "forward" collapses to the epilogue).
                 return carry + out.sum().astype(carry.dtype) * 1e-30
             xn = jax.lax.fori_loop(0, n, body, x0)
             return xn[0, 0, 0, 0]

@@ -116,6 +116,26 @@ def _pick_ht(H: int, C: int, W: int, N: int) -> int:
     return 2
 
 
+def _kernel_nm_bc(x_ref, out_ref, *, scale: float):
+    """Bitcast variant of _kernel_nm: the W-parity split runs as ONE
+    int8->int16 sublane bitcast per (c, row-parity) plane — adjacent W
+    sublanes pack into one int16 lane-row, the two parities are its low
+    and high bytes (shift + truncating cast, the _kernel_wh trick) —
+    instead of 2 sublane-STRIDED slice reads.  Strided sublane access
+    serializes in Mosaic; the bitcast form is whole-register moves.
+    6 contiguous reads / 12 contiguous stores per grid step."""
+    C, HH, _, W, N = x_ref.shape
+    for c in range(C):
+        for rp in range(2):
+            x = x_ref[c, :, rp]                       # [HH, W, N] f32
+            q = jnp.rint(x / jnp.float32(scale))
+            q = jnp.clip(q, -128, 127).astype(jnp.int8)
+            v16 = pltpu.bitcast(q, jnp.int16)         # [HH, W/2, N]
+            for cp in range(2):
+                out_ref[:, :, c * 4 + rp * 2 + cp, :] = \
+                    jnp.right_shift(v16, 8 * cp).astype(jnp.int8)
+
+
 def _kernel_nm(x_ref, out_ref, *, scale: float):
     """Batch-minor parity split: with batch N on lanes, the W parity is
     a SUBLANE-strided ref read (Mosaic lowers sublane strides fine; it

@@ -61,17 +61,21 @@ class PagedKVBatcher(_IterationScheduler):
     def __init__(self, model, scales, slots: int = 4, page: int = 16,
                  pool_pages: int = 64, max_pages: Optional[int] = None,
                  chunk: int = 8, temperature: float = 0.0,
-                 top_k: Optional[int] = None):
+                 top_k: Optional[int] = None, reserve: str = "full"):
         if slots < 1:
             raise ValueError("slots must be >= 1")
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
         if page < 1:
             raise ValueError("page must be >= 1")
+        if reserve not in ("full", "ondemand"):
+            raise ValueError(
+                f"reserve must be 'full' or 'ondemand', got {reserve!r}")
         self.model = model
         self.scales = scales
         self.slots = int(slots)
         self.page = int(page)
+        self.reserve = reserve
         self.pool_pages = int(pool_pages)
         if max_pages is None:
             max_pages = model.max_len // self.page
@@ -96,6 +100,8 @@ class PagedKVBatcher(_IterationScheduler):
         self._lens = jnp.zeros(self.slots, jnp.int32)
         self._free: List[int] = list(range(1, self.pool_pages))
         self._slot_pages: Dict[int, List[int]] = {}
+        self._slot_len: Dict[int, int] = {}   # host mirror of device lens
+        self.preemptions = 0                  # recompute evictions
 
         greedy = self.temperature <= 0.0
         temp, top_k_ = self.temperature, self.top_k
@@ -188,6 +194,11 @@ class PagedKVBatcher(_IterationScheduler):
     def _pages_needed(self, req: _Request) -> int:
         return -(-(len(req.prompt) + req.n_new) // self.page)
 
+    def _initial_need(self, req: _Request) -> int:
+        """Pages the first dispatch touches (ondemand admission)."""
+        return -(-min(len(req.prompt) + req.n_new, self.chunk)
+                 // self.page)
+
     def free_pages(self) -> int:
         return len(self._free)
 
@@ -195,32 +206,103 @@ class PagedKVBatcher(_IterationScheduler):
         for slot in range(self.slots):
             if slot in self._active or not self._queue:
                 continue
-            need = self._pages_needed(self._queue[0])
+            req = self._queue[0]
+            need = (self._pages_needed(req) if self.reserve == "full"
+                    else self._initial_need(req))
             if need > len(self._free):
                 break                     # FIFO: wait for pages
-            req = self._queue.pop(0)
+            self._queue.pop(0)
             pages = [self._free.pop() for _ in range(need)]
             self._slot_pages[slot] = pages
+            self._slot_len[slot] = 0
             row = np.zeros(self.max_pages, np.int32)
             row[:need] = pages
             self._tables = self._tables.at[slot].set(jnp.asarray(row))
             self._lens = self._lens.at[slot].set(0)
             self._active[slot] = req
             self._prev[slot] = 0
-            self._keys = self._keys.at[slot].set(
-                jax.random.PRNGKey(req.seed))
+            # A preempted request resumes its PRNG chain mid-stream so
+            # the recomputed continuation samples exactly the tokens the
+            # uninterrupted run would have.
+            key = (jnp.asarray(req.saved_key)
+                   if req.saved_key is not None
+                   else jax.random.PRNGKey(req.seed))
+            req.saved_key = None
+            self._keys = self._keys.at[slot].set(key)
+
+    def _preempt(self, slot: int) -> None:
+        """Evict a RUNNING request by recompute (vLLM-style): fold its
+        generated tokens into the prompt, save the PRNG chain, release
+        its pages, and re-queue it at its FIFO position (by rid).  On
+        re-admission the prompt (original + generated so far) re-feeds
+        through the normal prefill path and generation continues
+        token-exactly."""
+        req = self._active.pop(slot)
+        self.preemptions += 1
+        req.saved_key = np.asarray(self._keys[slot])
+        req.emitted.extend(req.out)
+        req.prompt = req.prompt + req.out
+        total = req.total_new if req.total_new is not None else req.n_new
+        req.n_new = total - len(req.emitted)
+        req.out = []
+        req.fed = 0
+        self._on_slot_free(slot)
+        self._slot_len.pop(slot, None)
+        self._lens = self._lens.at[slot].set(0)
+        pos = 0
+        while pos < len(self._queue) and self._queue[pos].rid < req.rid:
+            pos += 1
+        self._queue.insert(pos, req)
+
+    def _ensure_pages(self) -> None:
+        """Ondemand mode: grow each active slot's allocation to cover
+        the next chunk, preempting NEWER requests (largest rid first)
+        when the pool runs dry.  The oldest active request can always
+        progress (submit() bounds any single request's total need by
+        the pool size), so there is no livelock: a slot that cannot be
+        satisfied even after evicting every newer one parks itself back
+        on the queue instead of writing into pages it does not own."""
+        for slot in sorted(self._active,
+                           key=lambda s: self._active[s].rid):
+            if slot not in self._active:
+                continue          # preempted by an earlier iteration
+            req = self._active[slot]
+            total = len(req.prompt) + req.n_new
+            target = min(total, self._slot_len[slot] + self.chunk)
+            need = -(-target // self.page)
+            grow = need - len(self._slot_pages[slot])
+            while grow > len(self._free):
+                victims = [s for s in self._active
+                           if self._active[s].rid > req.rid]
+                if not victims:
+                    self._preempt(slot)   # park self; retry later
+                    break
+                self._preempt(max(
+                    victims, key=lambda s: self._active[s].rid))
+            if slot not in self._active or grow <= 0:
+                continue
+            self._slot_pages[slot].extend(
+                self._free.pop() for _ in range(grow))
+            row = np.zeros(self.max_pages, np.int32)
+            pages = self._slot_pages[slot]
+            row[:len(pages)] = pages
+            self._tables = self._tables.at[slot].set(jnp.asarray(row))
 
     def _on_slot_free(self, slot: int) -> None:
         """Scheduler hook: return a finished request's pages."""
         self._free.extend(self._slot_pages.pop(slot, []))
+        self._slot_len.pop(slot, None)
         self._tables = self._tables.at[slot].set(
             jnp.zeros(self.max_pages, jnp.int32))
 
     def step_engine(self) -> bool:
         """One engine iteration (ONE device dispatch).  Returns False
         when idle.  Scheduling is the shared _IterationScheduler; this
-        adds page admission/release around it."""
+        adds page admission/growth/release (and, in ondemand mode,
+        preemption) around it."""
         self._admit()
+        if self.reserve == "ondemand":
+            self._ensure_pages()
         if not self._active:
             return bool(self._queue)
 
@@ -232,5 +314,8 @@ class PagedKVBatcher(_IterationScheduler):
             jnp.asarray(mask), jnp.asarray(advance), jnp.asarray(idle))
         self.steps += 1
         self.micro_steps += self.chunk
+        for slot in self._active:
+            self._slot_len[slot] = self._slot_len.get(slot, 0) \
+                + self.chunk
         self._account_outputs(outs)
         return bool(self._active or self._queue)

@@ -50,6 +50,14 @@ class _Request:
     eos: Optional[int] = None    # stop early on this token
     fed: int = 0                 # prompt tokens consumed so far
     out: List[int] = dataclasses.field(default_factory=list)
+    # Preemption-by-recompute state (paged engine, reserve="ondemand"):
+    # a preempted request folds its generated tokens into the prompt
+    # (recompute on re-admission), accumulates them in ``emitted``, and
+    # carries its PRNG chain in ``saved_key`` so the resumed sampling
+    # stream continues exactly where it stopped.
+    total_new: Optional[int] = None   # original n_new (n_new = remaining)
+    emitted: List[int] = dataclasses.field(default_factory=list)
+    saved_key: Optional[np.ndarray] = None
 
     @property
     def prefilling(self) -> bool:
@@ -94,7 +102,7 @@ class _IterationScheduler:
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(_Request(rid, prompt, n_new, seed=seed,
-                                    eos=eos))
+                                    eos=eos, total_new=n_new))
         return rid
 
     def _chunk_inputs(self):
@@ -129,7 +137,10 @@ class _IterationScheduler:
                 elif not req.done:
                     req.out.append(int(outs[i, slot]))
             if req.done:
-                self._results[req.rid] = req.out[:req.n_new]
+                total = req.total_new if req.total_new is not None \
+                    else req.n_new
+                self._results[req.rid] = \
+                    (req.emitted + req.out)[:total]
                 del self._active[slot]
                 self._on_slot_free(slot)
 

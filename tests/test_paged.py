@@ -121,3 +121,81 @@ def test_eos_early_stop(lm):
     cut = full.index(eos) + 1
     assert res[rid] == full[:cut]
     assert res[rid][-1] == eos and len(res[rid]) < len(full)
+
+
+class TestOndemandPreemption:
+    """reserve="ondemand": optimistic admission, lazy page growth, and
+    preemption-by-recompute when the pool runs dry."""
+
+    def test_outputs_identical_to_full_reserve(self, lm):
+        model, scales = lm
+        rng = np.random.default_rng(5)
+        reqs = [(rng.integers(0, 61, rng.integers(2, 9)).tolist(),
+                 int(rng.integers(3, 8))) for _ in range(6)]
+        # pool tight enough to force growth contention + preemption
+        b = PagedKVBatcher(model, scales, slots=3, page=4,
+                           pool_pages=6, reserve="ondemand", chunk=4)
+        rids = [b.submit(p, n) for p, n in reqs]
+        res = b.run()
+        for (p, n), rid in zip(reqs, rids):
+            assert res[rid] == _expected(model, scales, p, n), (p, n)
+
+    def test_preemption_fires_and_preserves_sampled_streams(self, lm):
+        import jax
+        model, scales = lm
+        # Two long sampled requests on a pool that cannot hold both to
+        # completion: the newer one must be preempted at least once,
+        # and both streams still equal the per-sequence sample() runs.
+        b = PagedKVBatcher(model, scales, slots=2, page=4,
+                           pool_pages=8, reserve="ondemand", chunk=4,
+                           temperature=0.9, top_k=8)
+        specs = [([3, 1, 4, 1, 5], 14, 7), ([2, 7, 1, 8], 14, 11)]
+        rids = [b.submit(p, n, seed=s) for p, n, s in specs]
+        res = b.run()
+        assert b.preemptions >= 1
+        for (p, n, s), rid in zip(specs, rids):
+            exp = model.sample(np.asarray(p, np.int32), n, scales,
+                               jax.random.PRNGKey(s), temperature=0.9,
+                               top_k=8)
+            assert res[rid] == [int(t) for t in np.asarray(exp)], rid
+
+    def test_long_request_does_not_starve_short_ones(self, lm):
+        """Head-of-line: with full reservation the pool can only hold
+        the long request, so shorts wait; ondemand admits them
+        concurrently and they FINISH while the long one is running."""
+        model, scales = lm
+        long_p, long_n = [1, 2, 3, 4], 28       # 32 positions
+        short = ([7, 8], 4)                     # 6 positions
+
+        def first_done_step(reserve):
+            b = PagedKVBatcher(model, scales, slots=2, page=4,
+                               pool_pages=10, reserve=reserve, chunk=4)
+            rl = b.submit(long_p, long_n)
+            rs = b.submit(*short)
+            steps_to_short = None
+            for step in range(100):
+                if not b.step_engine():
+                    break
+                if rs in b.results() and steps_to_short is None:
+                    steps_to_short = step
+            res = b.results()
+            assert res[rl] == _expected(model, scales, long_p, long_n)
+            assert res[rs] == _expected(model, scales, *short)
+            return steps_to_short if steps_to_short is not None else 999
+
+        # full reservation: long takes 8 of 9 allocatable pages, the
+        # short (2 pages) cannot coexist -> finishes only after long
+        t_full = first_done_step("full")
+        t_ond = first_done_step("ondemand")
+        assert t_ond < t_full
+
+    def test_fifo_priority_oldest_never_preempted(self, lm):
+        model, scales = lm
+        b = PagedKVBatcher(model, scales, slots=2, page=4,
+                           pool_pages=6, reserve="ondemand", chunk=4)
+        r_old = b.submit([1, 2, 3], 12)
+        r_new = b.submit([4, 5, 6], 12)
+        res = b.run()
+        # both complete and are correct; any preemption hit the newer
+        assert res[r_old] == _expected(model, scales, [1, 2, 3], 12)
+        assert res[r_new] == _expected(model, scales, [4, 5, 6], 12)
