@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_IMAGES_PER_S = 137.0
-BATCH = 128  # measured sweet spot: +8% vs 256, B=64 collapses (see docs)
-CHAIN = 32
+# measured sweet spot: +8% vs 256, B=64 collapses (see docs); the env
+# override is for sweep experiments only — the headline is batch 128.
+BATCH = int(os.environ.get("RAT_BENCH_BATCH", "128"))
+CHAIN = int(os.environ.get("RAT_BENCH_CHAIN", "32"))
 ITERS = 9
 
 

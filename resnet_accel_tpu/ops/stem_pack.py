@@ -131,9 +131,12 @@ def _kernel_nm_bc(x_ref, out_ref, *, scale: float):
             q = jnp.rint(x / jnp.float32(scale))
             q = jnp.clip(q, -128, 127).astype(jnp.int8)
             v16 = pltpu.bitcast(q, jnp.int16)         # [HH, W/2, N]
+            # Shift in int32: Mosaic legalizes int32 shifts (the
+            # _kernel_wh path) but not int16 ones (arith.shrui fails).
+            v32 = v16.astype(jnp.int32)
             for cp in range(2):
                 out_ref[:, :, c * 4 + rp * 2 + cp, :] = \
-                    jnp.right_shift(v16, 8 * cp).astype(jnp.int8)
+                    jnp.right_shift(v32, 8 * cp).astype(jnp.int8)
 
 
 def _kernel_nm(x_ref, out_ref, *, scale: float):
