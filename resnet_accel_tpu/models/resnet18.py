@@ -595,7 +595,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  stem_s2d: bool = True,
                  stem_wh: Optional[bool] = None,
                  stem_nm: Optional[bool] = None,
-                 pm_trunk: Optional[bool] = None):
+                 pm_trunk: Optional[bool] = None,
+                 conv_routes: Optional[Dict[str, str]] = None,
+                 residual_barrier: bool = False):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -603,7 +605,16 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     isolated early-layer convs (up to 3x) but loses end-to-end (XLA's
     whole-graph layout assignment on the NCHW program beats the
     hand-forced channel-minor pipeline by ~20%), so NCHW is the default.
-    Sparse (attach_bsr) layers require NCHW."""
+    Sparse (attach_bsr) layers require NCHW.
+
+    ``conv_routes`` overrides the compute route per layer prefix (e.g.
+    ``{"b0.c1": "bf16", "b1.c2": "nhwc"}``); routes are "native" (int8
+    NCHW conv), "bf16" (exact small-K bf16 MXU conv, ops/conv.py), or
+    "nhwc" (channel-minor conv with local transposes — consecutive nhwc
+    layers' transposes cancel under XLA).  All routes are bit-exact; the
+    default None means measured per-layer defaults (tools/route_tune.py).
+    ``residual_barrier`` puts an optimization barrier between each block's
+    convs and its residual add, keeping the add out of the conv fusion."""
     if (layout == "NHWC" and conv_method == "native"
             and not any(qc.bsr is not None
                         for _, qc in model.named_convs())
@@ -668,11 +679,13 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             else:
                 s = space_to_depth_nchw(x)              # int8 in
                 w = stem_s2d_weights(params["stem.w"], qc.in_channels, 7)
+            s_method = ("bf16" if (conv_routes or {}).get("stem") == "bf16"
+                        else "native")
             return conv2d_int8(
                 s, w, bias=params["stem.b"],
                 kernel=4, stride=1, padding=((2, 1), (2, 1)),
                 factors=params["stem.f"], relu=qc.relu,
-                use_pallas=use_pallas, backend=backend, method="native")
+                use_pallas=use_pallas, backend=backend, method=s_method)
 
     def run_conv(params, prefix, qc: QConv, x, wh: bool = False):
         with jax.named_scope(prefix):
@@ -703,11 +716,22 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         w2d = params[f"{prefix}.w"]
         if wh and qc.kernel > 1:
             w2d = transpose_taps(w2d, qc.in_channels, qc.kernel)
+        route = (conv_routes or {}).get(prefix, "native")
+        if route == "nhwc":
+            w_hwio = w2d.reshape(-1, qc.in_channels,
+                                 qc.kernel, qc.kernel).transpose(2, 3, 1, 0)
+            y = conv2d_int8_nhwc(
+                x.transpose(0, 2, 3, 1), w_hwio,
+                bias=params[f"{prefix}.b"], stride=qc.stride,
+                padding=qc.padding, factors=params[f"{prefix}.f"],
+                relu=qc.relu)
+            return y.transpose(0, 3, 1, 2)
+        method = "bf16" if route == "bf16" else conv_method
         return conv2d_int8(
             x, w2d, bias=params[f"{prefix}.b"],
             kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
             factors=params[f"{prefix}.f"], relu=qc.relu,
-            use_pallas=use_pallas, backend=backend, method=conv_method)
+            use_pallas=use_pallas, backend=backend, method=method)
 
     # Pixel-major pair-plane trunk (ops/conv_pm.py): identity basic
     # blocks whose two 3x3/s1/p1 convs have C_in = C_out <= 64 run as
@@ -798,6 +822,11 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             r = run_conv(params, f"b{i}.ds", blk.downsample, a, wh) \
                 if blk.downsample is not None else a
             with jax.named_scope(f"b{i}.add"):
+                if residual_barrier:
+                    # Keep the dequant-add-requant out of the conv's output
+                    # fusion: fused, the f32 add epilogue throttles the MXU
+                    # (measured +100 us on the 64-ch convs at batch 128).
+                    y, r = jax.lax.optimization_barrier((y, r))
                 a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
                                  relu=True)
         with jax.named_scope("avgpool"):

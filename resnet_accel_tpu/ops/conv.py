@@ -119,10 +119,13 @@ def conv2d_int8(
         factors: per-output-channel float32 requant factors; when given the
             output is int8, else raw int32 accumulators.
         method: "native" — XLA's integer convolution (fastest; avoids
-            materializing the im2col patch tensor in HBM) or "im2col" —
+            materializing the im2col patch tensor in HBM); "im2col" —
             explicit patches -> MXU GEMM (the reference's lowering;
-            use_pallas picks the GEMM kernel).  Both are int8xint8->int32
-            and bit-identical (int32 accumulation is order-independent).
+            use_pallas picks the GEMM kernel); or "bf16" — the conv on
+            bf16-cast operands with float32 MXU accumulation (small-K
+            layers only, see below).  All are bit-identical to int8x
+            int8->int32 (int32 accumulation is order-independent; the
+            bf16 route is exact by range analysis).
 
     Returns:
         [N, C_out, H_out, W_out].
@@ -135,17 +138,36 @@ def conv2d_int8(
         pad_hw = [(padding, padding), (padding, padding)]
     else:
         pad_hw = [tuple(padding[0]), tuple(padding[1])]
-        if method != "native":
-            raise ValueError("asymmetric padding requires method='native'")
+        if method == "im2col":
+            raise ValueError("asymmetric padding requires a lax.conv "
+                             "method ('native' or 'bf16')")
     H_out = (H + sum(pad_hw[0]) - kernel) // stride + 1
     W_out = (W + sum(pad_hw[1]) - kernel) // stride + 1
 
-    if method == "native":
+    if method in ("native", "bf16"):
         w4d = weight2d.reshape(C_out, C, kernel, kernel)
-        acc = jax.lax.conv_general_dilated(
-            x, w4d, (stride, stride), pad_hw,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.int32)
+        if method == "bf16":
+            # Exact bf16 reformulation: int8 values cast to bf16 exactly,
+            # each bf16 x bf16 product is exact in float32 (<= 16 mantissa
+            # bits), and every f32 partial sum stays integer-exact while
+            # |acc| <= K*127*128 < 2^24 — i.e. for K = C_in*k*k <= 1024.
+            # MXU bf16 throughput is half the int8 peak, but the bf16 conv
+            # emitter handles narrow channel counts far better, so this
+            # wins on the 64-channel layers (measured, tools/route_tune.py).
+            if C * kernel * kernel > 1024:
+                raise ValueError(
+                    f"bf16 conv route is exact only for C_in*K*K <= 1024 "
+                    f"(got {C * kernel * kernel})")
+            acc = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), w4d.astype(jnp.bfloat16),
+                (stride, stride), pad_hw,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            acc = jax.lax.conv_general_dilated(
+                x, w4d, (stride, stride), pad_hw,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.int32)
         if factors is not None:
             return requantize(acc, factors, relu=relu, bias=bias, axis=1)
         if bias is not None:

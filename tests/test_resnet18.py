@@ -141,6 +141,39 @@ class TestEndToEnd:
             params, jnp.asarray(x)))
         np.testing.assert_array_equal(a, b)
 
+    def test_conv_routes_bit_exact(self, cifar_model):
+        # Every conv route (bf16 / nhwc / residual barrier) computes the
+        # SAME function: logits must be bit-identical to the default
+        # forward (the bf16 route's exactness argument is in ops/conv.py).
+        _, _, model = cifar_model
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32)), jnp.float32)
+        params = model.as_device_params()
+        base = np.asarray(make_forward(model)(params, x))
+        l1 = ["b0.c1", "b0.c2", "b1.c1", "b1.c2"]
+        variants = [
+            dict(residual_barrier=True),
+            dict(conv_routes={k: "bf16" for k in l1}),
+            dict(conv_routes={k: "nhwc" for k in l1}),
+            dict(conv_routes={"stem": "bf16"}),
+            dict(conv_routes=dict({k: "bf16" for k in l1}, stem="bf16"),
+                 residual_barrier=True),
+        ]
+        for kw in variants:
+            got = np.asarray(make_forward(model, **kw)(params, x))
+            np.testing.assert_array_equal(got, base, err_msg=str(kw))
+
+    def test_bf16_route_guards_large_k(self, cifar_model):
+        # C_in*K*K > 1024 would overflow float32's integer-exact range:
+        # the bf16 route must refuse (b2.c2 has C_in=128, K=3 -> 1152).
+        _, _, model = cifar_model
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(0, 1, (2, 3, 32, 32)), jnp.float32)
+        params = model.as_device_params()
+        fwd = make_forward(model, conv_routes={"b2.c2": "bf16"})
+        with pytest.raises(ValueError, match="bf16 conv route"):
+            fwd(params, x)
+
     @pytest.mark.slow
     def test_imagenet_geometry_golden(self):
         # One sample through the full 224x224 network (numpy golden only;

@@ -1,0 +1,90 @@
+"""In-model route tuning for the ResNet-18 forward (real TPU).
+
+The per-layer xprof profile (tools/profile_tpu.py, batch 128) puts 58%
+of device time in the stem + 64-channel layer1 convs.  This tool
+profiles FULL-MODEL variants (routes only change how a layer computes,
+never what — every variant is asserted logit-identical to the default
+forward first):
+
+  base      today's defaults (stem_nm kernel, all-native int8 NCHW)
+  barrier   residual_barrier=True (keep adds out of conv fusions)
+  l1bf16    layer0/1 convs on the exact bf16 route
+  l1nhwc    layer0/1 convs channel-minor
+  stembf16  stem s2d conv on the exact bf16 route
+  stemxla   stem_nm/wh off (XLA quantize + s2d composition)
+  combos of the winners
+
+Prints the measured per-layer totals (xprof device trace) per variant.
+Run: python tools/route_tune.py [batch]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(batch: int = 128) -> None:
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from resnet_accel_tpu.models import resnet18 as r18
+    from resnet_accel_tpu.runtime import xprof
+
+    rng = np.random.default_rng(0)
+    params_fp32 = r18.init_resnet18_fp32(seed=0, small_input=False)
+    calib = rng.normal(0, 1, (8, 3, 224, 224)).astype(np.float32)
+    model = r18.quantize_resnet18(params_fp32, calib, small_input=False)
+    params = model.as_device_params()
+    x = jnp.asarray(rng.normal(0, 1, (batch, 3, 224, 224)), jnp.float32)
+
+    L1 = ["b0.c1", "b0.c2", "b1.c1", "b1.c2"]
+    all_variants = [
+        ("base", {}),
+        ("barrier", {"residual_barrier": True}),
+        ("l1bf16", {"conv_routes": {k: "bf16" for k in L1}}),
+        ("l1nhwc", {"conv_routes": {k: "nhwc" for k in L1}}),
+        ("stembf16", {"conv_routes": {"stem": "bf16"}}),
+        ("stemxla", {"stem_nm": False, "stem_wh": False}),
+        ("stemwh", {"stem_nm": False}),
+        ("l1bf16+barrier", {"conv_routes": {k: "bf16" for k in L1},
+                            "residual_barrier": True}),
+        ("stembf16+barrier", {"conv_routes": {"stem": "bf16"},
+                              "residual_barrier": True}),
+    ]
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    variants = [(n, kw) for n, kw in all_variants
+                if only is None or n in only or n == "base"]
+
+    ref = None
+    for name, kw in variants:
+        try:
+            fwd = r18.make_forward(model, **kw)
+            agg, _ = xprof.profile_layers(lambda p, a: fwd(p, a), params, x)
+            total = sum(agg.values())
+            out = np.asarray(jax.jit(fwd)(params, x))
+        except Exception as e:  # keep sweeping past a broken variant
+            print(f"{name:16s} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        if ref is None:
+            ref = out
+            exact = True
+        else:
+            exact = bool(np.array_equal(out, ref))
+        hot = sorted(agg.items(), key=lambda kv: -kv[1])[:5]
+        hot_s = "  ".join(f"{k}={v * 1e6:.0f}" for k, v in hot)
+        print(f"{name:16s} {total * 1e6:7.1f} us  "
+              f"({batch / total:6.0f} img/s)  exact={exact}  [{hot_s}]",
+              flush=True)
+        assert exact, f"variant {name} is not bit-exact"
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
