@@ -96,6 +96,102 @@ def stem_s2d_weights(weight2d, in_c: int, kernel: int) -> jnp.ndarray:
     return w.reshape(O, -1)
 
 
+def fold2_rows_weights(weight2d, in_c: int, kernel: int) -> jnp.ndarray:
+    """Row-pair output fold of a stride-1 conv weight: [O, C*k*k] ->
+    [2O, C*(k+1)*k] block-Toeplitz.
+
+    Output rows 2h2+p (p = 0, 1) of the original conv both read input
+    rows 2h2-pt .. 2h2-pt+k: one (k+1)-row window.  Folding the pair
+    into channels makes the conv a kernel (k+1, k), stride (2, 1),
+    C_out = 2O convolution whose output [N, 2O, H/2, W'] holds row
+    2h2+p at channel p*O+o — W2[p*O+o, c, kh, kw] = W[o, c, kh-p, kw]
+    (structural zeros elsewhere), so int32 accumulation is
+    bit-identical.  Purpose: C_out = 64 fills only half the MXU's 128
+    output lanes (the measured 64-channel conv ceiling,
+    docs/ARCHITECTURE.md §7); the folded form runs at full lanes with
+    k/(k+1) useful-FLOP density — for the 4x4 s2d stem conv, 80% useful
+    at 100% lanes beats the unfolded 100% useful at 50% lanes.
+    """
+    O = weight2d.shape[0]
+    w4 = jnp.asarray(weight2d).reshape(O, in_c, kernel, kernel)
+    w_p0 = jnp.pad(w4, ((0, 0), (0, 0), (0, 1), (0, 0)))   # kh' = kh
+    w_p1 = jnp.pad(w4, ((0, 0), (0, 0), (1, 0), (0, 0)))   # kh' = kh+1
+    return jnp.concatenate([w_p0, w_p1], axis=0).reshape(2 * O, -1)
+
+
+def stem_conv_pool_fold2(
+    x: jnp.ndarray,
+    weight2d: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    kernel: int = 4,
+    padding=((2, 1), (2, 1)),
+    factors,
+    relu: bool = True,
+    method: str = "native",
+) -> jnp.ndarray:
+    """Fused stem conv + 3x3/s2/p1 maxpool via the row-pair fold.
+
+    ``x`` [N, C, H, W] int8 (the space-to-depth stem input), ``weight2d``
+    [O, C*k*k] (stem_s2d_weights output).  Computes the stride-1 conv
+    with ``padding`` and the stem maxpool in the FOLDED layout — the
+    [N, 2O, H/2, W] conv output is consumed directly by channel-half
+    slices, so the half-lane unfolded [N, O, H, W] tensor never
+    materializes in HBM.  Bit-exact equal to
+
+        maxpool2d_int8(conv2d_int8(x, w2d, bias, kernel=k, stride=1,
+                                   padding=padding, factors=f, relu=r),
+                       3, 2, padding=1)
+
+    (requant is per-channel elementwise — identical factor for a row
+    pair's two copies of channel o — and max commutes with it; tested).
+
+    Pool-row algebra: pool row j maxes conv rows 2j-1, 2j, 2j+1 =
+    fold[p=1, h2=j-1] (pad -128 at j=0), fold[p=0, h2=j],
+    fold[p=1, h2=j]; the W direction stays a plain reduce_window.
+    """
+    N, C, H, W = x.shape
+    O2 = 2 * weight2d.shape[0]
+    O = O2 // 2
+    (pt, pb), pw = padding
+    if H % 2:
+        raise ValueError("row-pair fold needs even H")
+    w4 = fold2_rows_weights(weight2d, C, kernel).reshape(
+        O2, C, kernel + 1, kernel)
+    if method == "bf16":
+        # Same exact-bf16 reformulation as conv2d_int8 (|acc| <=
+        # C*(k+1)*k*127*128 < 2^24 needs C*(k+1)*k <= 1024; the s2d
+        # stem is 12*5*4 = 240).
+        if C * (kernel + 1) * kernel > 1024:
+            raise ValueError("bf16 fold2 route is exact only for "
+                             f"C*(k+1)*k <= 1024 (got "
+                             f"{C * (kernel + 1) * kernel})")
+        acc = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w4.astype(jnp.bfloat16),
+            (2, 1), [(pt, pb), tuple(pw)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        acc = jax.lax.conv_general_dilated(
+            x, w4, (2, 1), [(pt, pb), tuple(pw)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32)           # [N, 2O, H/2, W']
+    f2 = jnp.asarray(factors, dtype=jnp.float32)
+    if f2.ndim > 0 and f2.size > 1:
+        f2 = jnp.tile(f2, 2)
+    b2 = None if bias is None else jnp.tile(jnp.asarray(bias), 2)
+    fold = requantize(acc, f2, relu=relu, bias=b2, axis=1)
+    lo, hi = fold[:, :O], fold[:, O:]
+    prev_hi = jnp.concatenate(
+        [jnp.full_like(hi[:, :, :1], -128), hi[:, :, :-1]], axis=2)
+    rm = jnp.maximum(jnp.maximum(prev_hi, lo), hi)      # [N, O, H/2, W']
+    return jax.lax.reduce_window(
+        rm, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 1, 1, 3),
+        window_strides=(1, 1, 1, 2),
+        padding=((0, 0), (0, 0), (0, 0), (1, 1)))
+
+
 def conv2d_int8(
     x: jnp.ndarray,
     weight2d: jnp.ndarray,

@@ -78,3 +78,47 @@ class TestS2DModel:
         via_nhwc = np.asarray(space_to_depth_nhwc(xh))
         np.testing.assert_array_equal(
             via_nhwc, via_nchw.transpose(0, 2, 3, 1))
+
+
+class TestFold2StemPool:
+    """Row-pair-folded stem conv+pool (stem_conv_pool_fold2) — bit-exact
+    vs the composed conv2d_int8 + maxpool2d_int8 path.  (Measured slower
+    on chip than the unfolded route — kept as a documented negative
+    result, docs/ARCHITECTURE.md §7.)"""
+
+    def _case(self, seed, H=24, W=28, relu=True, bias=True, perch=True,
+              method="native"):
+        from resnet_accel_tpu.ops.conv import stem_conv_pool_fold2
+        from resnet_accel_tpu.ops.pooling import maxpool2d_int8
+        rng = np.random.default_rng(seed)
+        C, O, k = 12, 64, 4
+        pad = ((2, 1), (2, 1))
+        x = jnp.asarray(rng.integers(-128, 128, (2, C, H, W), dtype=np.int8))
+        w = jnp.asarray(rng.integers(-128, 128, (O, C * k * k),
+                                     dtype=np.int8))
+        b = (jnp.asarray(rng.integers(-2000, 2000, (O,), dtype=np.int32))
+             if bias else None)
+        f = (jnp.asarray(rng.uniform(1e-4, 5e-4, (O,)).astype(np.float32))
+             if perch else jnp.float32(2e-4))
+        ref = maxpool2d_int8(
+            conv2d_int8(x, w, bias=b, kernel=k, stride=1, padding=pad,
+                        factors=f, relu=relu), 3, 2, padding=1)
+        got = stem_conv_pool_fold2(x, w, b, kernel=k, padding=pad,
+                                   factors=f, relu=relu, method=method)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_bit_exact(self):
+        self._case(0)
+
+    def test_no_relu_pad_semantics(self):
+        # negative outputs exercise the folded pool's -128 pad rows
+        self._case(1, relu=False)
+
+    def test_scalar_factor_no_bias(self):
+        self._case(2, bias=False, perch=False)
+
+    def test_bf16_route_exact(self):
+        self._case(3, method="bf16")
+
+    def test_odd_width(self):
+        self._case(4, W=30, H=16)
