@@ -19,6 +19,13 @@ kernel):
   control); its pages return to the free list on completion.  Memory
   is therefore oversubscribable: total pool pages can be far less than
   ``slots x max_pages x page``, and long and short requests share it.
+- **Prefix caching** (``prefix_cache=True``, vLLM-style): retired
+  requests' pure-prompt pages stay cached keyed by their exact token
+  chain; a later request whose prompt starts with the same tokens
+  shares those pages read-only (refcounted) and SKIPS their prefill
+  micro-steps entirely — the dominant cost for system-prompt
+  workloads.  Unreferenced cached pages are reclaimed LRU-first under
+  pool pressure, so caching never blocks admission.
 
 Decode math is IDENTICAL to the contiguous path: both call
 ``TransformerBlockInt8.qkv_project`` / ``attend_mlp``, and sampling
@@ -61,7 +68,8 @@ class PagedKVBatcher(_IterationScheduler):
     def __init__(self, model, scales, slots: int = 4, page: int = 16,
                  pool_pages: int = 64, max_pages: Optional[int] = None,
                  chunk: int = 8, temperature: float = 0.0,
-                 top_k: Optional[int] = None, reserve: str = "full"):
+                 top_k: Optional[int] = None, reserve: str = "full",
+                 prefix_cache: bool = False):
         if slots < 1:
             raise ValueError("slots must be >= 1")
         if chunk < 1:
@@ -102,6 +110,29 @@ class PagedKVBatcher(_IterationScheduler):
         self._slot_pages: Dict[int, List[int]] = {}
         self._slot_len: Dict[int, int] = {}   # host mirror of device lens
         self.preemptions = 0                  # recompute evictions
+
+        # Prefix cache (opt-in, vLLM-style): pages holding KV for a
+        # PURE-PROMPT token range are retained after the request retires
+        # and shared read-only with any later request whose prompt
+        # starts with the same tokens (KV at position i depends only on
+        # tokens[0..i] + absolute positions, so equal token prefixes
+        # have bit-equal KV).  A new request's admission points its
+        # block-table prefix at the cached pages, bumps their refcounts,
+        # and starts with ``req.fed`` past the shared range — the
+        # prefill micro-steps for those tokens are SKIPPED entirely.
+        # Sharing is write-safe by construction: a slot only scatters at
+        # its own ``lens`` positions, which start past the shared range.
+        # Cached pages with refcount 0 are reclaimed LRU-first when the
+        # free list runs dry, so the cache never blocks admission.
+        self.prefix_cache = bool(prefix_cache)
+        self._cache: Dict[bytes, int] = {}      # chain key -> page id
+        self._page_ref: Dict[int, int] = {}     # page id -> live refs
+        self._lru: Dict[bytes, None] = {}       # insertion-ordered LRU
+        self._slot_req: Dict[int, _Request] = {}
+        self._slot_shared: Dict[int, int] = {}  # leading shared pages
+        self._slot_cache_bound: Dict[int, int] = {}  # preempt-time fed
+        self.cache_hits = 0                     # shared pages reused
+        self.cache_tokens_skipped = 0           # prefill steps skipped
 
         greedy = self.temperature <= 0.0
         temp, top_k_ = self.temperature, self.top_k
@@ -194,31 +225,93 @@ class PagedKVBatcher(_IterationScheduler):
     def _pages_needed(self, req: _Request) -> int:
         return -(-(len(req.prompt) + req.n_new) // self.page)
 
-    def _initial_need(self, req: _Request) -> int:
-        """Pages the first dispatch touches (ondemand admission)."""
-        return -(-min(len(req.prompt) + req.n_new, self.chunk)
-                 // self.page)
-
     def free_pages(self) -> int:
         return len(self._free)
+
+    # ------------------------------------------------ prefix cache ops
+    def _chain_key(self, prompt: Sequence[int], k: int) -> bytes:
+        """Cache key for page k: the EXACT token sequence it closes."""
+        return np.asarray(prompt[:(k + 1) * self.page],
+                          np.int32).tobytes()
+
+    def _reclaimable(self) -> int:
+        return sum(1 for key in self._lru
+                   if self._page_ref.get(self._cache[key], 0) == 0)
+
+    def _available(self) -> int:
+        """Pages allocatable right now: free + reclaimable cached."""
+        return len(self._free) + self._reclaimable()
+
+    def _evict_cached(self) -> None:
+        """Reclaim the least-recently-used unreferenced cached page."""
+        for key in self._lru:
+            pid = self._cache[key]
+            if self._page_ref.get(pid, 0) == 0:
+                del self._cache[key]
+                del self._lru[key]
+                self._page_ref.pop(pid, None)
+                self._free.append(pid)
+                return
+        raise RuntimeError(
+            "no free or reclaimable KV pages (callers must check "
+            "_available() before allocating)")
+
+    def _alloc_pages(self, n: int) -> List[int]:
+        out = []
+        for _ in range(n):
+            if not self._free:
+                self._evict_cached()
+            out.append(self._free.pop())
+        return out
+
+    def _cached_prefix(self, req: _Request) -> List[int]:
+        """Longest run of cached pages matching the prompt head.  At
+        least one prompt token is always left to feed (its logits
+        start generation)."""
+        if not self.prefix_cache:
+            return []
+        hits: List[int] = []
+        for k in range((len(req.prompt) - 1) // self.page):
+            pid = self._cache.get(self._chain_key(req.prompt, k))
+            if pid is None:
+                break
+            hits.append(pid)
+        return hits
 
     def _admit(self) -> None:
         for slot in range(self.slots):
             if slot in self._active or not self._queue:
                 continue
             req = self._queue[0]
-            need = (self._pages_needed(req) if self.reserve == "full"
-                    else self._initial_need(req))
-            if need > len(self._free):
+            shared = self._cached_prefix(req)
+            fed0 = len(shared) * self.page
+            total = len(req.prompt) + req.n_new
+            if self.reserve == "full":
+                need = -(-total // self.page) - len(shared)
+            else:
+                need = (-(-min(total, fed0 + self.chunk) // self.page)
+                        - len(shared))
+            need = max(need, 0)
+            if need > self._available():
                 break                     # FIFO: wait for pages
             self._queue.pop(0)
-            pages = [self._free.pop() for _ in range(need)]
+            for k, pid in enumerate(shared):
+                self._page_ref[pid] = self._page_ref.get(pid, 0) + 1
+                key = self._chain_key(req.prompt, k)
+                self._lru.pop(key, None)
+                self._lru[key] = None     # LRU touch
+            pages = shared + self._alloc_pages(need)
+            self.cache_hits += len(shared)
+            self.cache_tokens_skipped += fed0
+            req.fed = fed0                # shared KV: skip its prefill
             self._slot_pages[slot] = pages
-            self._slot_len[slot] = 0
+            self._slot_shared[slot] = len(shared)
+            self._slot_req[slot] = req
+            self._slot_len[slot] = fed0
             row = np.zeros(self.max_pages, np.int32)
-            row[:need] = pages
+            row[:len(pages)] = pages
             self._tables = self._tables.at[slot].set(jnp.asarray(row))
-            self._lens = self._lens.at[slot].set(0)
+            self._lens = self._lens.at[slot].set(fed0)
             self._active[slot] = req
             self._prev[slot] = 0
             # A preempted request resumes its PRNG chain mid-stream so
@@ -239,6 +332,12 @@ class PagedKVBatcher(_IterationScheduler):
         token-exactly."""
         req = self._active.pop(slot)
         self.preemptions += 1
+        # Positions < fed hold valid prompt KV right now; remember the
+        # bound BEFORE the fold below rewrites fed, so _on_slot_free can
+        # cache those pages and the resumed request reuses them instead
+        # of recomputing (preemption-by-recompute becomes
+        # preemption-by-cache-reuse when the pages survive).
+        self._slot_cache_bound[slot] = req.fed
         req.saved_key = np.asarray(self._keys[slot])
         req.emitted.extend(req.out)
         req.prompt = req.prompt + req.out
@@ -271,7 +370,7 @@ class PagedKVBatcher(_IterationScheduler):
             target = min(total, self._slot_len[slot] + self.chunk)
             need = -(-target // self.page)
             grow = need - len(self._slot_pages[slot])
-            while grow > len(self._free):
+            while grow > self._available():
                 victims = [s for s in self._active
                            if self._active[s].rid > req.rid]
                 if not victims:
@@ -281,16 +380,44 @@ class PagedKVBatcher(_IterationScheduler):
                     victims, key=lambda s: self._active[s].rid))
             if slot not in self._active or grow <= 0:
                 continue
-            self._slot_pages[slot].extend(
-                self._free.pop() for _ in range(grow))
+            self._slot_pages[slot].extend(self._alloc_pages(grow))
             row = np.zeros(self.max_pages, np.int32)
             pages = self._slot_pages[slot]
             row[:len(pages)] = pages
             self._tables = self._tables.at[slot].set(jnp.asarray(row))
 
     def _on_slot_free(self, slot: int) -> None:
-        """Scheduler hook: return a finished request's pages."""
-        self._free.extend(self._slot_pages.pop(slot, []))
+        """Scheduler hook: release a leaving request's pages.
+
+        Shared (cached) pages drop a refcount and stay in the cache.
+        With the prefix cache on, this request's own PURE-PROMPT pages
+        — fully inside both the prompt and the positions actually
+        written (``fed``; preemption records its pre-fold bound) — are
+        inserted into the cache for future prompts instead of freed.
+        Everything else returns to the free list."""
+        pages = self._slot_pages.pop(slot, [])
+        req = self._slot_req.pop(slot, None)
+        bound = self._slot_cache_bound.pop(slot, None)
+        shared = self._slot_shared.pop(slot, 0)
+        for pid in pages[:shared]:
+            self._page_ref[pid] = max(self._page_ref.get(pid, 1) - 1, 0)
+        own = pages[shared:]
+        keep = 0
+        if self.prefix_cache and req is not None:
+            if bound is None:
+                bound = req.fed
+            cacheable = min(bound, len(req.prompt)) // self.page
+            for k in range(shared, min(cacheable, shared + len(own))):
+                pid = own[k - shared]
+                key = self._chain_key(req.prompt, k)
+                if key in self._cache:
+                    self._free.append(pid)   # duplicate: keep the old
+                else:
+                    self._cache[key] = pid
+                    self._page_ref[pid] = 0
+                    self._lru[key] = None
+                keep += 1
+        self._free.extend(own[keep:])
         self._slot_len.pop(slot, None)
         self._tables = self._tables.at[slot].set(
             jnp.zeros(self.max_pages, jnp.int32))

@@ -199,3 +199,118 @@ class TestOndemandPreemption:
         # both complete and are correct; any preemption hit the newer
         assert res[r_old] == _expected(model, scales, [1, 2, 3], 12)
         assert res[r_new] == _expected(model, scales, [4, 5, 6], 12)
+
+
+class TestPrefixCache:
+    """vLLM-style prefix caching: shared prompt pages skip prefill,
+    outputs stay token-identical, and cached pages reclaim under
+    pool pressure."""
+
+    def test_repeat_prompt_skips_prefill_same_outputs(self, lm):
+        model, scales = lm
+        sys_prompt = list(range(1, 17))          # 2 full pages at page=8
+        b0 = PagedKVBatcher(model, scales, slots=1, page=8,
+                            pool_pages=12)
+        b1 = PagedKVBatcher(model, scales, slots=1, page=8,
+                            pool_pages=12, prefix_cache=True)
+        outs = {}
+        for b in (b0, b1):
+            r1 = b.submit(sys_prompt + [21], n_new=5)
+            res1 = b.run()
+            r2 = b.submit(sys_prompt + [33, 7], n_new=5)
+            res2 = b.run()
+            outs[b] = (res1[r1], res2[r2])
+        assert outs[b0] == outs[b1]              # caching is invisible
+        assert outs[b1][0] == _expected(model, scales,
+                                        sys_prompt + [21], 5)
+        assert outs[b1][1] == _expected(model, scales,
+                                        sys_prompt + [33, 7], 5)
+        # the second request reused both full prompt pages and skipped
+        # 16 prefill micro-steps
+        assert b1.cache_hits == 2
+        assert b1.cache_tokens_skipped == 16
+        assert b1.micro_steps < b0.micro_steps
+        assert b0.cache_hits == 0
+
+    def test_concurrent_same_prompt_share_pages(self, lm):
+        model, scales = lm
+        sys_prompt = list(range(2, 12))          # 1 full page at page=8
+        b = PagedKVBatcher(model, scales, slots=2, page=8,
+                           pool_pages=16, prefix_cache=True)
+        # first request retires and caches its prompt page
+        r0 = b.submit(sys_prompt + [5], n_new=4)
+        base = b.run()[r0]
+        assert base == _expected(model, scales, sys_prompt + [5], 4)
+        # two concurrent requests both share that page (refcount 2);
+        # n_new is sized so neither finishes within the first chunk
+        ra = b.submit(sys_prompt + [6], n_new=16)
+        rb = b.submit(sys_prompt + [7], n_new=16)
+        b.step_engine()
+        shared_pid = [pid for pid, ref in b._page_ref.items() if ref]
+        assert shared_pid and b._page_ref[shared_pid[0]] == 2
+        res = b.run()
+        assert res[ra] == _expected(model, scales, sys_prompt + [6], 16)
+        assert res[rb] == _expected(model, scales, sys_prompt + [7], 16)
+        # pages released: nothing referenced after both retire
+        assert all(ref == 0 for ref in b._page_ref.values())
+
+    def test_cache_reclaims_under_pool_pressure(self, lm):
+        model, scales = lm
+        b = PagedKVBatcher(model, scales, slots=1, page=8,
+                           pool_pages=5, prefix_cache=True)
+        # fill the cache: 2 prompt pages cached after completion
+        p1 = list(range(1, 17))
+        r1 = b.submit(p1 + [20], n_new=4)
+        out1 = b.run()[r1]
+        assert len(b._cache) == 2
+        # an unrelated request needing all 4 allocatable pages must
+        # reclaim the cached pages (LRU) and still run correctly
+        p2 = [40] * 20
+        r2 = b.submit(p2, n_new=12)              # 32 positions -> 4 pages
+        out2 = b.run()[r2]
+        assert out2 == _expected(model, scales, p2, 12)
+        # p1's cached pages were reclaimed to serve p2 (whose own
+        # prompt pages now occupy the cache)
+        assert b._chain_key(p1, 0) not in b._cache
+        assert b._chain_key(p2, 0) in b._cache
+        # and the original prompt still produces the same tokens when
+        # resubmitted (cold or warm — correctness is cache-independent)
+        r3 = b.submit(p1 + [20], n_new=4)
+        assert b.run()[r3] == out1
+
+    def test_sampled_streams_unaffected_by_cache(self, lm):
+        import jax
+        model, scales = lm
+        sys_prompt = list(range(3, 12))          # 1 full page
+        b = PagedKVBatcher(model, scales, slots=1, page=8,
+                           pool_pages=10, prefix_cache=True,
+                           temperature=0.8, top_k=12)
+        r1 = b.submit(sys_prompt + [2], n_new=5, seed=13)
+        b.run()
+        r2 = b.submit(sys_prompt + [2], n_new=5, seed=13)  # warm cache
+        res2 = b.run()[r2]
+        assert b.cache_tokens_skipped >= 8
+        exp = model.sample(np.asarray(sys_prompt + [2], np.int32), 5,
+                           scales, jax.random.PRNGKey(13),
+                           temperature=0.8, top_k=12)
+        assert res2 == [int(t) for t in np.asarray(exp)]
+
+    def test_preempted_request_resumes_from_cache(self, lm):
+        model, scales = lm
+        # tight on-demand pool forces preemption; with the cache on,
+        # the evicted request's already-computed prompt pages survive
+        # and its recompute is skipped on re-admission.
+        reqs = [(list(range(1, 10)) + [i], 8) for i in range(4)]
+        roomy = PagedKVBatcher(model, scales, slots=4, page=8,
+                               pool_pages=24, reserve="ondemand",
+                               prefix_cache=True)
+        tight = PagedKVBatcher(model, scales, slots=4, page=8,
+                               pool_pages=7, reserve="ondemand",
+                               prefix_cache=True)
+        r_roomy = [roomy.submit(p, n) for p, n in reqs]
+        r_tight = [tight.submit(p, n) for p, n in reqs]
+        res_roomy, res_tight = roomy.run(), tight.run()
+        assert tight.preemptions > 0
+        for rr, rt in zip(r_roomy, r_tight):
+            assert res_roomy[rr] == res_tight[rt]
+        assert tight.cache_tokens_skipped > 0
