@@ -180,6 +180,147 @@ class TransformerLMInt8:
             new_caches.append(c)
         return self._logits(x)[0], new_caches
 
+    def verify_step(self, caches, toks: jnp.ndarray, scales: Scales
+                    ) -> Tuple[jnp.ndarray, list]:
+        """S tokens through all blocks at positions len..len+S-1
+        (speculative-decoding verify pass).  ``toks``: [S] int32.
+        Returns (logits [S, V], updated caches with len += S)."""
+        S = toks.shape[0]
+        pos = caches[0]["len"]
+        x = jnp.asarray(self.embed)[toks] \
+            + jax.lax.dynamic_slice_in_dim(jnp.asarray(self.pos), pos, S)
+        new_caches = []
+        for i, blk in enumerate(self.blocks):
+            x, c = blk.verify_step(caches[i], x, scales[i])
+            new_caches.append(c)
+        return self._logits(x), new_caches
+
+    def generate_speculative(self, prompt: jnp.ndarray, n_new: int,
+                             scales: Scales, draft: int = 15,
+                             ngram: int = 3, jit: bool = True,
+                             flash: bool = False,
+                             return_stats: bool = False) -> jnp.ndarray:
+        """Greedy decode with prompt-lookup speculative decoding.
+
+        Outputs are BIT-IDENTICAL to ``generate`` (greedy acceptance:
+        a draft token survives only when it equals the model's own
+        argmax), but each macro-step verifies ``1 + draft`` tokens in
+        ONE batched forward instead of sequential per-token decode
+        steps — accepted drafts cost a fraction of a decode step.
+        Drafts come from prompt lookup (assisted generation): the most
+        recent earlier occurrence of the last ``ngram`` context tokens
+        proposes its continuation.  On repetitive text (code, docs —
+        the reference's own corpus class) acceptance is high and the
+        device-time win is real; on random text it degrades to
+        ~vanilla decode.  The whole loop (lookup, verify, accept,
+        rollback) is ONE jitted lax.while_loop — no host round-trips.
+
+        Measured on the tunneled v5e (tools/spec_bench.py, 4L d512
+        INT8 byte LM trained on the reference's own sources, prompt
+        640 new 256): 2.05x end-to-end at draft=15/ngram=3 (the
+        defaults; 1.55x at draft=7, 1.96x at draft=31), outputs
+        bit-identical.  Decode is weight-bandwidth-bound, so the
+        16-token verify GEMM costs little more than a 1-token decode
+        step — acceptance past ~1 draft/pass is nearly free.
+
+        Requires prompt + n_new + draft ≤ max_len (the verify window
+        writes ``1 + draft`` K/V entries past the accepted length; the
+        overhang above the final length is masked scratch).
+        """
+        S = draft + 1
+        n_prompt = int(np.asarray(prompt).shape[-1])
+        if n_prompt + n_new + draft > self.max_len:
+            raise ValueError(
+                f"prompt ({n_prompt}) + n_new ({n_new}) + draft "
+                f"({draft}) exceeds max_len ({self.max_len}); shrink "
+                "draft or the request")
+        if ngram < 1:
+            raise ValueError("ngram must be >= 1")
+        ML = self.max_len
+
+        def run(prompt_toks):
+            T = prompt_toks.shape[0]
+            x = jnp.asarray(self.embed)[prompt_toks] \
+                + jnp.asarray(self.pos)[:T]
+            caches = []
+            for i, blk in enumerate(self.blocks):
+                x, c = blk.prefill(x, scales[i],
+                                   blk.init_cache(ML), flash=flash)
+                caches.append(c)
+            tok0 = jnp.argmax(self._logits(x[-1:])[0]).astype(jnp.int32)
+
+            # ctx doubles as the output buffer: prompt, then emitted
+            # tokens.  t = tokens known so far; cache len = t - 1
+            # (the newest token's K/V lands in the next verify).
+            ctx = jnp.zeros(ML, jnp.int32)
+            ctx = jax.lax.dynamic_update_slice(ctx, prompt_toks, (0,))
+            ctx = ctx.at[T].set(tok0)
+            # All length-ngram context windows, built once from static
+            # slices; window p = ctx[p : p + ngram].
+            P = ML - ngram  # windows whose continuation index is valid
+
+            def lookup(ctx, t, last):
+                """Most recent earlier match of the last ngram tokens;
+                returns its continuation as the draft [S - 1]."""
+                wins = jnp.stack([ctx[j:j + P] for j in range(ngram)],
+                                 1)                       # [P, ngram]
+                suffix = jax.lax.dynamic_slice_in_dim(
+                    ctx, t - ngram, ngram)                # [ngram]
+                hit = jnp.all(wins == suffix[None, :], axis=1)
+                hit &= jnp.arange(P) < t - ngram          # strictly prior
+                p = jnp.max(jnp.where(hit, jnp.arange(P), -1))
+                # fallback: repeat the newest token (cheap, usually
+                # rejected — costs nothing extra, the verify runs anyway)
+                drafts = jax.lax.dynamic_slice_in_dim(
+                    ctx, jnp.maximum(p, 0) + ngram, S - 1)
+                return jnp.where(p >= 0, drafts,
+                                 jnp.full(S - 1, last, jnp.int32))
+
+            def cond(st):
+                _, _, t, n_out, _ = st
+                return n_out < n_new
+
+            def body(st):
+                caches, ctx, t, n_out, steps = st
+                last = ctx[t - 1]
+                fed = jnp.concatenate(
+                    [last[None], lookup(ctx, t, last)])   # [S]
+                logits, caches = self.verify_step(caches, fed, scales)
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S]
+                # leading drafts equal to the model's own argmax chain
+                ok = jnp.cumprod(
+                    (fed[1:] == g[:-1]).astype(jnp.int32))
+                n_acc = jnp.sum(ok)                       # 0..S-1
+                # never emit past the budget (keeps t bounded)
+                n_acc = jnp.minimum(n_acc, n_new - 1 - n_out)
+                ctx = jax.lax.dynamic_update_slice(ctx, g, (t,))
+                t = t + n_acc + 1
+                n_out = n_out + n_acc + 1
+                # roll back: cache holds exactly the consumed tokens
+                caches = [dict(c, len=t - 1) for c in caches]
+                return caches, ctx, t, n_out, steps + 1
+
+            caches = [dict(c) for c in caches]
+            st = (caches, ctx, jnp.int32(T + 1), jnp.int32(1),
+                  jnp.int32(0))
+            _, ctx, _, _, steps = jax.lax.while_loop(cond, body, st)
+            toks = jax.lax.dynamic_slice_in_dim(ctx, T, n_new)
+            if return_stats:
+                # macro-steps = verify passes run; n_new / (steps + 1
+                # implicit prefill token) >> 1 means drafts are landing
+                return toks, steps
+            return toks
+
+        if not jit:
+            return run(jnp.asarray(prompt, jnp.int32))
+        if not hasattr(self, "_gen_cache"):
+            self._gen_cache = {}
+        key = ("spec", n_new, draft, ngram, flash, return_stats,
+               tuple(tuple(sorted(d.items())) for d in scales))
+        if key not in self._gen_cache:
+            self._gen_cache[key] = jax.jit(run)
+        return self._gen_cache[key](jnp.asarray(prompt, jnp.int32))
+
     def generate(self, prompt: jnp.ndarray, n_new: int, scales: Scales,
                  jit: bool = True, parallel_prefill: bool = True,
                  flash: bool = False, batched: bool = False

@@ -244,6 +244,49 @@ class TransformerBlockInt8:
         y = self.attend_mlp(x_t, q_t, k_all, v_all, pos, scales)
         return y, cache
 
+    def verify_step(self, cache, x_s: jnp.ndarray,
+                    scales: Dict[str, float]):
+        """Multi-token causal decode: S tokens [S, d_model] at
+        positions len..len+S-1, attending the cache AND each other
+        (causally).  The speculative-decoding verify pass — one
+        batched GEMM per projection where S ``decode_step`` calls
+        would issue S tiny ones, numerically identical per row (same
+        static scales, same HIGHEST-precision einsum contraction
+        order per query).  Returns (y [S, d_model], cache with
+        len += S); callers that reject draft tokens roll ``len`` back
+        — stale K/V above ``len`` is masked by position and
+        overwritten by the next write at ``len``."""
+        S = x_s.shape[0]
+        D, H = self.d_model, self.n_heads
+        dh = D // H
+        h = self._ln(x_s, self.ln1_g, self.ln1_b)
+        q = self._proj(self.wq, h, scales["h1"])          # [S, D]
+        k = self._proj(self.wk, h, scales["h1"])
+        v = self._proj(self.wv, h, scales["h1"])
+        pos = cache["len"]
+        k_all = jax.lax.dynamic_update_slice(cache["k"], k, (pos, 0))
+        v_all = jax.lax.dynamic_update_slice(cache["v"], v, (pos, 0))
+        L = k_all.shape[0]
+        qh = q.reshape(S, H, dh).transpose(1, 0, 2)       # [H,S,dh]
+        kh = k_all.reshape(L, H, dh).transpose(1, 0, 2)   # [H,L,dh]
+        vh = v_all.reshape(L, H, dh).transpose(1, 0, 2)
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST) / jnp.sqrt(
+            jnp.float32(dh))                              # [H,S,L]
+        mask = (jnp.arange(L)[None, :]
+                <= pos + jnp.arange(S)[:, None])          # [S, L]
+        logits = jnp.where(mask[None, :, :], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hts,hsd->htd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.transpose(1, 0, 2).reshape(S, D)
+        x_s = x_s + self._proj(self.wo, ctx, scales["ctx"])
+        h = self._ln(x_s, self.ln2_g, self.ln2_b)
+        m = jax.nn.gelu(self._proj(self.w1, h, scales["h2"]))
+        y = x_s + self._proj(self.w2, m, scales["mlp"])
+        return y, {"k": k_all, "v": v_all, "len": pos + S}
+
     # --------------------------------------------------------------- jax
     def __call__(self, x: jnp.ndarray, causal: bool = False,
                  scales: Optional[Dict[str, float]] = None,

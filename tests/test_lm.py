@@ -200,3 +200,74 @@ class TestSampling:
         prompt = np.asarray(rng.integers(0, 37, 30), np.int32)
         with pytest.raises(ValueError, match="exceeds"):
             model.sample(prompt, 20, scales, jax.random.PRNGKey(0))
+
+
+class TestSpeculativeDecoding:
+    """Prompt-lookup speculative decoding: greedy outputs bit-identical
+    to generate(), fewer verify passes on repetitive text."""
+
+    @pytest.fixture(scope="class")
+    def big(self):
+        model = TransformerLMInt8.from_random(
+            vocab=32, d_model=64, n_heads=4, d_ff=128, n_layers=2,
+            max_len=96, sparsity=0.7, block=8, seed=3)
+        scales = model.calibrate(
+            np.random.default_rng(7).integers(0, 32, 24))
+        return model, scales
+
+    def test_verify_step_matches_decode_steps(self, big):
+        model, scales = big
+        import jax.numpy as jnp
+        prompt = np.random.default_rng(0).integers(0, 32, 6)
+        caches_a = model.init_caches()
+        caches_b = model.init_caches()
+        feed = np.random.default_rng(1).integers(0, 32, 5)
+        # token-by-token
+        outs_a = []
+        for t in np.concatenate([prompt, feed]):
+            la, caches_a = model.decode_step(caches_a,
+                                             jnp.int32(int(t)), scales)
+            outs_a.append(np.asarray(la))
+        # prompt token-by-token, then one multi-token verify
+        for t in prompt:
+            _, caches_b = model.decode_step(caches_b,
+                                            jnp.int32(int(t)), scales)
+        lb, caches_b = model.verify_step(
+            caches_b, jnp.asarray(feed, jnp.int32), scales)
+        np.testing.assert_allclose(np.asarray(lb),
+                                   np.stack(outs_a[len(prompt):]),
+                                   rtol=0, atol=1e-4)
+        assert int(caches_b[0]["len"]) == len(prompt) + len(feed)
+
+    @pytest.mark.parametrize("draft,ngram", [(7, 3), (3, 2), (0, 1)])
+    def test_identical_to_generate(self, big, draft, ngram):
+        model, scales = big
+        rng = np.random.default_rng(5)
+        cases = [([4, 9, 2, 4, 9, 2, 4, 9, 2, 7], 24),
+                 (rng.integers(0, 32, 12).tolist(), 16),
+                 ([3], 8)]
+        for prompt, n_new in cases:
+            exp = np.asarray(model.generate(
+                np.asarray(prompt, np.int32), n_new, scales))
+            got = np.asarray(model.generate_speculative(
+                np.asarray(prompt, np.int32), n_new, scales,
+                draft=draft, ngram=ngram))
+            np.testing.assert_array_equal(got, exp)
+
+    def test_acceptance_reduces_verify_passes(self, big):
+        model, scales = big
+        prompt = ([1, 2, 3, 4, 5] * 4)[:18]     # periodic: lookup hits
+        n_new = 30
+        toks, steps = model.generate_speculative(
+            np.asarray(prompt, np.int32), n_new, scales, draft=7,
+            return_stats=True)
+        assert int(steps) < n_new               # beat one-pass-per-token
+        exp = np.asarray(model.generate(np.asarray(prompt, np.int32),
+                                        n_new, scales))
+        np.testing.assert_array_equal(np.asarray(toks), exp)
+
+    def test_rejects_overlong(self, big):
+        model, scales = big
+        with pytest.raises(ValueError, match="draft"):
+            model.generate_speculative(
+                np.arange(40, dtype=np.int32) % 32, 52, scales, draft=7)

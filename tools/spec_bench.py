@@ -1,0 +1,138 @@
+"""On-chip benchmark: prompt-lookup speculative decoding vs vanilla
+greedy decode (models/lm.py generate_speculative vs generate).
+
+Real-text workload: byte-level prompts drawn from the reference's own
+docs/source tree (the corpus class the serving engines target —
+repetitive, so prompt-lookup acceptance is high).  Both paths are ONE
+jitted program; the speedup measured here is pure device time: the
+verify pass processes draft+1 tokens in batched GEMMs where vanilla
+decode runs them as sequential single-token steps.
+
+Run on the tunneled TPU:  python tools/spec_bench.py
+Knobs: SPEC_DRAFT (default 7 here; model default 15), SPEC_NGRAM (3).
+
+MEASURED (tunneled v5e, 4L d512 INT8 byte LM trained 1500 steps on the
+corpus, prompt 640, new 256, 4 prompts, 2026-08-19), all outputs
+bit-identical to generate():
+
+    draft=7  ngram=3   1.55x  (1.45-1.72x per prompt)
+    draft=15 ngram=3   2.05x  <- model default
+    draft=15 ngram=4   1.93x
+    draft=31 ngram=3   1.96x
+    random-weighted model (untrained): 0.94x — acceptance is a model
+    property; the verify pass itself is nearly free (decode is
+    weight-bandwidth-bound, 153->122 passes for 256 tokens).
+"""
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import jax.numpy as jnp
+    import optax
+    from resnet_accel_tpu.train.lm import (init_lm_fp32, lm_forward_fp32,
+                                           quantize_lm)
+
+    MAX_LEN = 1024
+    PROMPT, N_NEW = 640, 256
+    DRAFT = int(os.environ.get("SPEC_DRAFT", "7"))
+    NGRAM = int(os.environ.get("SPEC_NGRAM", "3"))
+
+    # Real text (reference md/py sources, byte tokens).  Speculative
+    # decoding's acceptance rate is a property of the MODEL's output
+    # distribution, so the subject must actually model the text: a
+    # random-weighted LM measured 0.94x (125 verify passes for 256
+    # tokens — its argmax stream ignores corpus patterns, so
+    # prompt-lookup drafts rarely land).  Train briefly on-chip first.
+    parts = []
+    for g in ("/root/reference/**/*.md", "/root/reference/**/*.py"):
+        for p in sorted(glob.glob(g, recursive=True))[:40]:
+            with open(p, "rb") as f:
+                parts.append(f.read())
+    corpus = np.frombuffer(b"\n".join(parts), np.uint8).astype(np.int32)
+    prompts = [corpus[o:o + PROMPT] for o in
+               (11_000, 60_000, 130_000, 200_000)]
+
+    D, H, L, SEQ, STEPS, BATCH = 512, 8, 4, 128, 1500, 32
+    params = init_lm_fp32(vocab=256, d_model=D, n_heads=H, d_ff=2 * D,
+                          n_layers=L, max_len=MAX_LEN, seed=0)
+    train_keys = [k for k in params if k not in ("meta", "pos")]
+    pj = {k: jnp.asarray(v) for k, v in params.items() if k != "meta"}
+    opt = optax.adam(3e-3)
+
+    def loss_fn(tp, toks):
+        full = dict(pj)
+        full.update(tp)
+        logits = jax.vmap(
+            lambda t: lm_forward_fp32(full, t, L, H))(toks)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], toks[:, 1:]).mean()
+
+    @jax.jit
+    def step(tp, state, toks):
+        loss, g = jax.value_and_grad(loss_fn)(tp, toks)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(tp, upd), state, loss
+
+    tp = {k: pj[k] for k in train_keys}
+    state = opt.init(tp)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for s in range(STEPS):
+        starts = rng.integers(0, len(corpus) - SEQ - 1, BATCH)
+        toks = jnp.asarray(np.stack(
+            [corpus[o:o + SEQ] for o in starts]))
+        tp, state, loss = step(tp, state, toks)
+    print(f"trained {STEPS} steps on {len(corpus)} corpus bytes "
+          f"({time.time() - t0:.0f}s, final loss {float(loss):.3f})",
+          flush=True)
+    for k in train_keys:
+        params[k] = np.asarray(tp[k])
+    model = quantize_lm(params, H, block=8)
+    scales = model.calibrate(corpus[:MAX_LEN])
+
+    def timed(fn, *args, **kw):
+        out = fn(*args, **kw)          # compile + warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        return out, time.perf_counter() - t0
+
+    print(f"4L d512 INT8 byte LM (corpus-trained), prompt {PROMPT}, "
+          f"new {N_NEW}, draft {DRAFT}", flush=True)
+    tot_v = tot_s = 0.0
+    for i, p in enumerate(prompts):
+        exp, tv = timed(model.generate, p, N_NEW, scales, jit=True)
+        (got, steps), ts = timed(
+            model.generate_speculative, p, N_NEW, scales, draft=DRAFT,
+            ngram=NGRAM, return_stats=True)
+        same = np.array_equal(np.asarray(exp), np.asarray(got))
+        tot_v += tv
+        tot_s += ts
+        print(f"  prompt[{i}]: vanilla {tv * 1e3:7.1f} ms  spec "
+              f"{ts * 1e3:7.1f} ms  ({tv / ts:4.2f}x)  verify passes "
+              f"{int(steps):3d}/{N_NEW}  identical={same}", flush=True)
+        if not same:
+            raise SystemExit("speculative output diverged")
+    print(f"TOTAL: vanilla {tot_v * 1e3:.1f} ms  spec {tot_s * 1e3:.1f}"
+          f" ms  speedup {tot_v / tot_s:.2f}x "
+          f"({N_NEW * len(prompts) / tot_s:.0f} tok/s single-stream)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
