@@ -387,12 +387,31 @@ def cmd_generate(args):
         print("warning: --top-k/--sample-seed have no effect with "
               "temperature 0 (greedy decoding); pass --temperature > 0 "
               "to sample", file=sys.stderr)
+    spec_steps = None
     if args.temperature > 0:
         import jax
+        if args.speculative:
+            raise SystemExit("--speculative is greedy-only "
+                             "(acceptance compares against argmax); "
+                             "drop --temperature")
         toks = lm.sample(jnp.asarray(prompt), args.n_new, scales,
                          jax.random.PRNGKey(args.sample_seed),
                          temperature=args.temperature,
                          top_k=args.top_k, flash=args.flash)
+    elif args.speculative:
+        # the verify window writes draft+1 K/V entries past the final
+        # length; shrink the draft to whatever headroom max_len leaves
+        draft = min(args.draft,
+                    args.max_len - prompt.size - args.n_new)
+        if draft < 1:
+            raise SystemExit("--speculative needs at least 1 token of "
+                             "--max-len headroom beyond prompt + n_new")
+        if draft < args.draft:
+            print(f"note: draft shrunk to {draft} (max-len headroom)",
+                  file=sys.stderr)
+        toks, spec_steps = lm.generate_speculative(
+            jnp.asarray(prompt), args.n_new, scales, draft=draft,
+            flash=args.flash, return_stats=True)
     else:
         toks = lm.generate(jnp.asarray(prompt), args.n_new, scales,
                            flash=args.flash)
@@ -400,6 +419,9 @@ def cmd_generate(args):
     dt = _time.perf_counter() - t0
     print(f"prompt:    {prompt.tolist()}")
     print(f"generated: {toks.tolist()}")
+    if spec_steps is not None:
+        print(f"speculative: {int(spec_steps)} verify passes for "
+              f"{args.n_new} tokens (outputs identical to greedy)")
     mean_sp = float(np.mean(
         list(lm.blocks[0].sparsity_report().values())))
     print(f"{args.n_new} tokens in {dt:.2f}s (incl. compile); "
@@ -568,6 +590,11 @@ def build_parser():
     pg.add_argument("--top-k", type=int, default=None,
                     help="top-k truncation for sampling")
     pg.add_argument("--sample-seed", type=int, default=0)
+    pg.add_argument("--speculative", action="store_true",
+                    help="prompt-lookup speculative decoding (greedy "
+                         "only; outputs identical, fewer device steps)")
+    pg.add_argument("--draft", type=int, default=15,
+                    help="speculative draft length per verify pass")
     pg.set_defaults(fn=cmd_generate)
 
     pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")

@@ -45,6 +45,29 @@ class TestCLIGenerate:
         finally:
             sys.argv = old
 
+    def test_speculative_matches_greedy(self, capsys):
+        from resnet_accel_tpu.cli import main
+
+        base = ["prog", "generate", "--n-new", "6", "--layers", "1",
+                "--d-model", "64", "--heads", "2", "--max-len", "32",
+                "--prompt", "3,4,5,3,4,5"]
+        old = sys.argv
+        try:
+            sys.argv = base
+            assert main() == 0
+            greedy = capsys.readouterr().out
+            sys.argv = base + ["--speculative"]
+            assert main() == 0
+            spec = capsys.readouterr().out
+        finally:
+            sys.argv = old
+        g = [ln for ln in greedy.splitlines()
+             if ln.startswith("generated:")]
+        s = [ln for ln in spec.splitlines()
+             if ln.startswith("generated:")]
+        assert g == s                       # bit-identical via CLI too
+        assert any("verify passes" in ln for ln in spec.splitlines())
+
 
 class TestBenchArtifact:
     def test_bench_artifact_synthetic(self, tmp_path, capsys):
