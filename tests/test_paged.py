@@ -314,3 +314,46 @@ class TestPrefixCache:
         for rr, rt in zip(r_roomy, r_tight):
             assert res_roomy[rr] == res_tight[rt]
         assert tight.cache_tokens_skipped > 0
+
+
+class TestInt8KV:
+    """Quantized KV page pools: ~3.9x less memory, near-identical
+    outputs (per-token symmetric int8, dequant after gather)."""
+
+    def test_pool_memory_and_agreement(self, lm):
+        model, scales = lm
+        reqs = [(np.random.default_rng(i).integers(0, 61, 6).tolist(),
+                 6) for i in range(4)]
+        outs, bytes_ = {}, {}
+        for dt in ("fp32", "int8"):
+            b = PagedKVBatcher(model, scales, slots=2, page=8,
+                               pool_pages=9, kv_dtype=dt)
+            rids = [b.submit(p, n) for p, n in reqs]
+            res = b.run()
+            outs[dt] = [res[r] for r in rids]
+            bytes_[dt] = b.kv_pool_bytes()
+        assert bytes_["fp32"] / bytes_["int8"] > 3.5
+        # tiny-model greedy decode: int8 KV matches fp32 exactly here
+        # (documented as near-identical, not guaranteed bit-equal)
+        match = sum(sum(x == y for x, y in zip(a, c))
+                    for a, c in zip(outs["fp32"], outs["int8"]))
+        total = sum(len(a) for a in outs["fp32"])
+        assert match / total >= 0.9
+
+    def test_composes_with_prefix_cache_and_ondemand(self, lm):
+        model, scales = lm
+        sys_prompt = list(range(2, 12))
+        b = PagedKVBatcher(model, scales, slots=2, page=8,
+                           pool_pages=10, kv_dtype="int8",
+                           prefix_cache=True, reserve="ondemand")
+        r1 = b.submit(sys_prompt + [5], n_new=4)
+        out1 = b.run()[r1]
+        r2 = b.submit(sys_prompt + [5], n_new=4)   # warm: cache hit
+        out2 = b.run()[r2]
+        assert out1 == out2                        # deterministic reuse
+        assert b.cache_tokens_skipped >= 8
+
+    def test_rejects_unknown_dtype(self, lm):
+        model, scales = lm
+        with pytest.raises(ValueError, match="kv_dtype"):
+            PagedKVBatcher(model, scales, kv_dtype="fp8")

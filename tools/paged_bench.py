@@ -10,30 +10,35 @@ Prints one line per config; paste the table into README.md.
 Run: python tools/paged_bench.py
 
 MEASURED (tunneled v5e, 4-slot 4L d256 INT8 50%-sparse LM, page=32,
-chunk=16, 2026-08-18) — end-to-end request throughput, prefill
+chunk=16, 2026-08-19) — end-to-end request throughput, prefill
 included, prompts fixed by seed so pool variants serve identical
-requests:
+requests; KV MB is real device bytes (kv_pool_bytes):
 
     ctx  prompt  new  pool   tok/s  wall s  KV MB  fixed MB
-     64      24   32     9   717.5    0.18   0.56      0.50
-    256     128   96    29   690.6    0.56   1.81      2.00
-    512     384   96    61   372.2    1.03   3.81      4.00
-    512     384   96    37   175.9    2.18   2.31  oversub x1.67
+     64      24   32     9   745.2    0.17   2.25      2.00
+    256     128   96    29   765.2    0.50   7.25      8.00
+    512     384   96    61   384.1    1.00  15.25     16.00
+    512     384   96    37   173.4    2.21   9.25  oversub x1.67
                          ondemand, outputs token-identical=True
+    512     384   96    61   368.8    1.04   3.87  int8 KV,
+                         token agreement 384/384 vs fp32 KV
 
 Throughput holds at 4x the fixed-slot engine's typical 48-64 context
-(691 vs 717 tok/s) and halves at 8x (attention over the longer KV);
+(765 vs 745 tok/s) and halves at 8x (attention over the longer KV);
 the oversubscribed on-demand pool (60% of worst-case pages) completes
-the same requests token-identically at 176 tok/s via
+the same requests token-identically at 173 tok/s via
 preemption-by-recompute — the paged engine's admission/eviction path
-exercised under real load on chip.
+exercised under real load on chip.  Quantized KV pages
+(kv_dtype="int8") commit 3.94x less pool memory at a ~4% throughput
+cost with every output token identical on this workload (lossy by
+design — agreement is measured, not guaranteed).
 
-Prefix caching (same session, within-run comparison — absolute rates
-drift a few % between tunnel sessions):
+Prefix caching (within-run comparison — absolute rates drift a few %
+between tunnel sessions; an earlier session measured 233 -> 597):
 
     sys-prompt 352 shared + 32 unique, new 96, 4 slots:
-      prefix_cache=False   233.0 tok/s   wall 1.65 s
-      prefix_cache=True    596.7 tok/s   wall 0.64 s   (2.6x)
+      prefix_cache=False    394.2 tok/s   wall 0.97 s
+      prefix_cache=True    1038.0 tok/s   wall 0.37 s   (2.6x)
       1408 prompt tokens' prefill skipped via shared cached pages
 """
 
@@ -48,7 +53,7 @@ import numpy as np
 
 def measure(max_len: int, prompt_len: int, n_new: int, slots: int = 4,
             page: int = 32, chunk: int = 16, oversub: float = 1.0,
-            reserve: str = "full"):
+            reserve: str = "full", kv_dtype: str = "fp32"):
     import jax
     from resnet_accel_tpu.models.lm import TransformerLMInt8
     from resnet_accel_tpu.runtime.paged import PagedKVBatcher
@@ -62,7 +67,8 @@ def measure(max_len: int, prompt_len: int, n_new: int, slots: int = 4,
     pool = max(2 + (-(-(prompt_len + n_new) // page)),
                int(round(full_pool / oversub)))
     b = PagedKVBatcher(model, scales, slots=slots, page=page,
-                       pool_pages=pool, chunk=chunk, reserve=reserve)
+                       pool_pages=pool, chunk=chunk, reserve=reserve,
+                       kv_dtype=kv_dtype)
 
     def load(seed):
         prng = np.random.default_rng(seed)
@@ -82,10 +88,9 @@ def measure(max_len: int, prompt_len: int, n_new: int, slots: int = 4,
     res = b.run()
     dt = time.perf_counter() - t0
     toks = sum(len(res[r]) for r in rids)
-    # KV memory actually committed: k+v pools, int8 pages.
     D, L = model.d_model, len(model.blocks)
-    paged_mb = 2 * L * pool * page * D / 2**20
-    fixed_mb = 2 * L * slots * max_len * D / 2**20
+    paged_mb = b.kv_pool_bytes() / 2**20
+    fixed_mb = 2 * 4 * L * slots * max_len * D / 2**20
     outs = tuple(tuple(res[r]) for r in rids)
     return toks / dt, dt, pool, paged_mb, fixed_mb, outs
 
@@ -151,6 +156,16 @@ def main():
                   f"oversub x1.67 ondemand, outputs identical={same}")
             if not same:
                 raise SystemExit("oversubscribed outputs diverged")
+            # Quantized KV pages (kv_dtype="int8"): ~3.9x less pool
+            # memory, near-identical outputs (lossy by design).
+            tps3, dt3, pool3, pmb3, _, outs3 = measure(
+                max_len, prompt, n_new, kv_dtype="int8")
+            agree = sum(x == y for a, c in zip(outs, outs3)
+                        for x, y in zip(a, c))
+            total = sum(len(a) for a in outs)
+            print(f"{max_len:6d} {prompt:7d} {n_new:5d} {pool3:5d} "
+                  f"{tps3:9.1f} {dt3:7.2f} {pmb3:6.2f}       "
+                  f"int8 KV, token agreement {agree}/{total}")
     # System-prompt workload: 352 shared + 32 unique prompt tokens.
     for cache in (False, True):
         tps, dt, skipped = measure_prefix(cache=cache)
