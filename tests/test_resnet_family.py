@@ -111,3 +111,17 @@ def test_resnet18_via_family_matches_direct():
     x = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
     np.testing.assert_array_equal(forward_golden(ma, x),
                                   forward_golden(mb, x))
+
+@pytest.mark.parametrize("depth,n_blocks", [(101, 33), (152, 50)])
+def test_deep_bottleneck_variants(depth, n_blocks):
+    """ResNet-101/152 stage plans: structure + golden-exact forward.
+    (Same machinery as 50 — this pins the deep rows of STAGE_PLANS.)"""
+    rng = np.random.default_rng(depth)
+    _, model = _make(depth, rng)
+    assert len(model.blocks) == n_blocks
+    assert all(isinstance(b, QBottleneck) for b in model.blocks)
+    x = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    fwd = make_forward(model, use_pallas=False, backend="cpu")
+    out = np.asarray(fwd(model.as_device_params(), x))
+    assert out.shape == (1, 10)
+    np.testing.assert_array_equal(out, forward_golden(model, x))
