@@ -184,3 +184,137 @@ def make_tp_transformer_forward(
                    qkv_shards["wv"], w1_shards)
 
     return jax.jit(apply)
+
+
+def make_tp_decode_step(
+    mesh: Mesh,
+    block: TransformerBlockInt8,
+    scales,
+    max_len: int,
+):
+    """Head-parallel CACHED DECODE — the multi-chip serving layout.
+
+    Each rank holds only its heads' K/V cache slice
+    ``[max_len, d_model/tp]`` (so KV memory scales 1/tp, the reason
+    tensor-parallel serving exists), computes its heads' attention
+    locally, and the single cross-chip reduction is the int32 ``psum``
+    inside the output projection — same discipline as
+    make_tp_transformer_forward but with STATIC activation scales (the
+    serving path's calibrated scales: every rank quantizes
+    identically, no global absmax collective needed).
+
+    Returns ``(init_caches, step)`` where ``step(caches, x_t)`` ->
+    ``(y_t [1, d_model], caches)`` mirrors
+    ``TransformerBlockInt8.decode_step``; integer decisions are exact
+    vs the single-device step, the residual is fp32 reassociation
+    across differently-compiled programs (same bound as the tp
+    forward, tested).
+    """
+    if "tp" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'tp' axis")
+    tp = mesh.shape["tp"]
+    H, D = block.n_heads, block.d_model
+    if H % tp:
+        raise ValueError(f"n_heads={H} not divisible by tp={tp}")
+    h_loc, dh = H // tp, D // H
+    d_ff = block.w1.d_out
+
+    qkv_shards = {name: _stack_row_shards(getattr(block, name), tp)
+                  for name in ("wq", "wk", "wv")}
+    w1_shards = _stack_row_shards(block.w1, tp)
+
+    def ln(v, gamma, beta):
+        mu = v.mean(axis=-1, keepdims=True)
+        var = v.var(axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + LN_EPS) \
+            * jnp.asarray(gamma) + jnp.asarray(beta)
+
+    def q_static(v, s):
+        return jnp.clip(jnp.rint(v / jnp.float32(s)), -128,
+                        127).astype(jnp.int8)
+
+    def row_proj(proj_src, shards, q, s):
+        blocks, gidx, sc, bias = shards
+        g = _local_gather(proj_src.gather, blocks, gidx, tp)
+        acc = bsr_matmul_wt_xla(q, g)
+        return acc.astype(jnp.float32) * (jnp.float32(s) * sc) + bias
+
+    def full_proj_psum(proj_src, q, s):
+        acc = bsr_matmul_wt_xla(q, proj_src.gather)
+        acc = jax.lax.psum(acc, "tp")
+        out = acc.astype(jnp.float32) * (
+            jnp.float32(s) * jnp.asarray(proj_src.scales))
+        if proj_src.bias is not None:
+            out = out + jnp.asarray(proj_src.bias)
+        return out
+
+    def tp_step(x_t, k_cache, v_cache, length,
+                wq_s, wk_s, wv_s, w1_s):
+        # shard_map hands rank-local slices with the shard axis kept
+        wq_s, wk_s, wv_s, w1_s = (
+            tuple(a[0] for a in s) for s in (wq_s, wk_s, wv_s, w1_s))
+        rank = jax.lax.axis_index("tp")
+
+        h = ln(x_t, block.ln1_g, block.ln1_b)
+        q8 = q_static(h, scales["h1"])
+        s = scales["h1"]
+        q_l = row_proj(block.wq, wq_s, q8, s)      # [1, h_loc*dh]
+        k_l = row_proj(block.wk, wk_s, q8, s)
+        v_l = row_proj(block.wv, wv_s, q8, s)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_l, (length, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_l, (length, 0))
+
+        qh = q_l.reshape(1, h_loc, dh).transpose(1, 0, 2)
+        kh = k_cache.reshape(max_len, h_loc, dh).transpose(1, 0, 2)
+        vh = v_cache.reshape(max_len, h_loc, dh).transpose(1, 0, 2)
+        logits = jnp.einsum(
+            "htd,hsd->hts", qh, kh,
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :] / jnp.sqrt(
+            jnp.float32(dh))                       # [h_loc, max_len]
+        mask = jnp.arange(max_len) <= length
+        logits = jnp.where(mask[None, :], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("hs,hsd->hd", attn, vh,
+                         precision=jax.lax.Precision.HIGHEST)
+        ctx = ctx.reshape(1, h_loc * dh)
+        ctx_full = jnp.zeros((1, D), ctx.dtype)
+        ctx_full = jax.lax.dynamic_update_slice(
+            ctx_full, ctx, (0, rank * h_loc * dh))
+        x_t = x_t + full_proj_psum(
+            block.wo, q_static(ctx_full, scales["ctx"]), scales["ctx"])
+
+        h = ln(x_t, block.ln2_g, block.ln2_b)
+        hid = jax.nn.gelu(row_proj(
+            block.w1, w1_s, q_static(h, scales["h2"]), scales["h2"]))
+        hid_full = jnp.zeros((1, d_ff), hid.dtype)
+        hid_full = jax.lax.dynamic_update_slice(
+            hid_full, hid, (0, rank * (d_ff // tp)))
+        y = x_t + full_proj_psum(
+            block.w2, q_static(hid_full, scales["mlp"]), scales["mlp"])
+        return y, k_cache, v_cache, length + 1
+
+    cache_spec = P(None, "tp")   # [max_len, D] feature-sharded
+    shard_specs = (P("tp"), P("tp"), P("tp"), P("tp"))
+    stepped = shard_map(
+        tp_step, mesh=mesh,
+        in_specs=(P(), cache_spec, cache_spec, P()) + shard_specs,
+        out_specs=(P(), cache_spec, cache_spec, P()),
+        check_vma=False,
+    )
+
+    def init_caches():
+        zeros = jnp.zeros((max_len, D), jnp.float32)
+        sharding = NamedSharding(mesh, cache_spec)
+        return {"k": jax.device_put(zeros, sharding),
+                "v": jax.device_put(zeros, sharding),
+                "len": jnp.int32(0)}
+
+    @jax.jit
+    def step(cache, x_t):
+        y, k, v, n = stepped(
+            x_t, cache["k"], cache["v"], cache["len"],
+            qkv_shards["wq"], qkv_shards["wk"], qkv_shards["wv"],
+            w1_shards)
+        return y, {"k": k, "v": v, "len": n}
+
+    return init_caches, step

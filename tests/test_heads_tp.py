@@ -46,3 +46,47 @@ class TestHeadParallel:
         mesh = Mesh(np.array(cpu_devs[:2]), ("dp",))
         with pytest.raises(ValueError, match="'tp' axis"):
             make_tp_transformer_forward(mesh, block)
+
+
+class TestHeadParallelDecode:
+    """tp-sharded CACHED decode (the multi-chip serving layout): each
+    rank holds its heads' KV slice; one int32 psum per projection."""
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_matches_single_device_decode(self, cpu_devs, block, tp):
+        from resnet_accel_tpu.parallel.heads import make_tp_decode_step
+        rng = np.random.default_rng(0)
+        x_seq = rng.normal(0, 1, (10, 128)).astype(np.float32)
+        scales = block.calibrate_scales(x_seq)
+        mesh = Mesh(np.array(cpu_devs[:tp]), ("tp",))
+        init, step = make_tp_decode_step(mesh, block, scales,
+                                         max_len=16)
+        cache_tp, cache_ref = init(), block.init_cache(16)
+        for t in range(10):
+            xt = jnp.asarray(x_seq[t:t + 1])
+            y_tp, cache_tp = step(cache_tp, xt)
+            y_ref, cache_ref = block.decode_step(cache_ref, xt, scales)
+            # fp32 K/V caches agree to reassociation noise; the output
+            # tolerance admits the documented +-1 int8 LSB rint-tie
+            # class (a 1e-7 fp difference can flip one quantized
+            # activation, worth one dequant step ~5e-3 here)
+            np.testing.assert_allclose(
+                np.asarray(cache_tp["k"]), np.asarray(cache_ref["k"]),
+                rtol=0, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(y_tp),
+                                       np.asarray(y_ref),
+                                       rtol=0, atol=1e-2)
+        assert int(cache_tp["len"]) == 10
+
+    def test_kv_cache_is_sharded(self, cpu_devs, block):
+        from resnet_accel_tpu.parallel.heads import make_tp_decode_step
+        rng = np.random.default_rng(0)
+        scales = block.calibrate_scales(
+            rng.normal(0, 1, (8, 128)).astype(np.float32))
+        mesh = Mesh(np.array(cpu_devs[:4]), ("tp",))
+        init, _ = make_tp_decode_step(mesh, block, scales, max_len=16)
+        cache = init()
+        # each device holds 1/tp of the KV features
+        shard_shapes = {s.data.shape
+                        for s in cache["k"].addressable_shards}
+        assert shard_shapes == {(16, 128 // 4)}
