@@ -388,17 +388,7 @@ def cmd_generate(args):
               "temperature 0 (greedy decoding); pass --temperature > 0 "
               "to sample", file=sys.stderr)
     spec_steps = None
-    if args.temperature > 0:
-        import jax
-        if args.speculative:
-            raise SystemExit("--speculative is greedy-only "
-                             "(acceptance compares against argmax); "
-                             "drop --temperature")
-        toks = lm.sample(jnp.asarray(prompt), args.n_new, scales,
-                         jax.random.PRNGKey(args.sample_seed),
-                         temperature=args.temperature,
-                         top_k=args.top_k, flash=args.flash)
-    elif args.speculative:
+    if args.speculative:
         # the verify window writes draft+1 K/V entries past the final
         # length; shrink the draft to whatever headroom max_len leaves
         draft = min(args.draft,
@@ -409,9 +399,21 @@ def cmd_generate(args):
         if draft < args.draft:
             print(f"note: draft shrunk to {draft} (max-len headroom)",
                   file=sys.stderr)
+        rng_key = None
+        if args.temperature > 0:
+            import jax
+            rng_key = jax.random.PRNGKey(args.sample_seed)
         toks, spec_steps = lm.generate_speculative(
             jnp.asarray(prompt), args.n_new, scales, draft=draft,
-            flash=args.flash, return_stats=True)
+            flash=args.flash, return_stats=True,
+            temperature=args.temperature, top_k=args.top_k,
+            rng_key=rng_key)
+    elif args.temperature > 0:
+        import jax
+        toks = lm.sample(jnp.asarray(prompt), args.n_new, scales,
+                         jax.random.PRNGKey(args.sample_seed),
+                         temperature=args.temperature,
+                         top_k=args.top_k, flash=args.flash)
     else:
         toks = lm.generate(jnp.asarray(prompt), args.n_new, scales,
                            flash=args.flash)
@@ -420,8 +422,10 @@ def cmd_generate(args):
     print(f"prompt:    {prompt.tolist()}")
     print(f"generated: {toks.tolist()}")
     if spec_steps is not None:
+        basis = ("distribution-exact vs sample()"
+                 if args.temperature > 0 else "identical to greedy")
         print(f"speculative: {int(spec_steps)} verify passes for "
-              f"{args.n_new} tokens (outputs identical to greedy)")
+              f"{args.n_new} tokens (outputs {basis})")
     mean_sp = float(np.mean(
         list(lm.blocks[0].sparsity_report().values())))
     print(f"{args.n_new} tokens in {dt:.2f}s (incl. compile); "
@@ -591,8 +595,11 @@ def build_parser():
                     help="top-k truncation for sampling")
     pg.add_argument("--sample-seed", type=int, default=0)
     pg.add_argument("--speculative", action="store_true",
-                    help="prompt-lookup speculative decoding (greedy "
-                         "only; outputs identical, fewer device steps)")
+                    help="prompt-lookup speculative decoding: greedy "
+                         "outputs identical to generate; with "
+                         "--temperature > 0, rejection-sampled "
+                         "(distribution-exact vs sample); fewer "
+                         "device steps either way")
     pg.add_argument("--draft", type=int, default=15,
                     help="speculative draft length per verify pass")
     pg.set_defaults(fn=cmd_generate)

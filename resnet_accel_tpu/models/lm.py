@@ -53,6 +53,61 @@ def sampled_token(logits, key, temperature: float,
     return k2, jax.random.categorical(sub, z).astype(jnp.int32)
 
 
+def adjust_logits(logits, temperature: float,
+                  top_k: "Optional[int]" = None):
+    """Temperature + optional top-k truncation, exactly as
+    ``sampled_token`` applies them — factored out so speculative
+    sampling scores drafts against the SAME target distribution the
+    sequential sampler draws from (rows may be batched)."""
+    z = logits / jnp.float32(temperature)
+    if top_k is not None and top_k < z.shape[-1]:
+        kth = jax.lax.top_k(z, top_k)[0][..., -1:]
+        z = jnp.where(z < kth, -jnp.inf, z)
+    return z
+
+
+def spec_accept_sampled(z, fed, key):
+    """One speculative-sampling accept/emit step for a DETERMINISTIC
+    draft (prompt lookup proposes a point mass, q(d)=1).
+
+    ``z``: [S, V] adjusted logits (see ``adjust_logits``) from the
+    verify pass — row i is the target distribution for the token after
+    ``fed[i]``.  ``fed``: [S] int32, ``fed[0]`` the last emitted token
+    and ``fed[1:]`` the drafts.  Returns ``(n_acc, emit, key)`` where
+    ``emit[:n_acc]`` are the accepted drafts and ``emit[n_acc]`` the
+    step token, so ``n_acc + 1`` tokens are emitted per call.
+
+    The rejection rule with a point-mass proposal reduces to: accept
+    draft d_i with probability p_i(d_i) (min(1, p/q) with q=1); on the
+    first rejection sample from the residual (p_i - q_i)+ renormalized,
+    which for a point mass is exactly softmax of z_i with z_i[d_i] set
+    to -inf; if every draft survives, sample the bonus token from the
+    last row.  Each emitted token is therefore distributed EXACTLY as
+    sequential ancestral sampling from the target — the standard
+    speculative-sampling guarantee (verified empirically in
+    tests/test_spec_sampling.py).
+    """
+    S, V = z.shape
+    key, k_u, k_s = jax.random.split(key, 3)
+    logp = jax.nn.log_softmax(z, axis=-1)             # [S, V]
+    p_draft = jnp.exp(logp[jnp.arange(S - 1), fed[1:]])
+    u = jax.random.uniform(k_u, (S - 1,))
+    ok = jnp.cumprod((u < p_draft).astype(jnp.int32))
+    n_acc = jnp.sum(ok)                               # 0..S-1
+    # The step token's row: the first rejected position, or S-1 when
+    # everything was accepted (bonus token).  On rejection the draft's
+    # atom is removed and the remainder renormalized — softmax with
+    # that logit at -inf.
+    zj = z[n_acc]                                     # [V]
+    rejected = n_acc < S - 1
+    d = fed[jnp.minimum(n_acc + 1, S - 1)]
+    zj = jnp.where(rejected & (jnp.arange(V) == d), -jnp.inf, zj)
+    step_tok = jax.random.categorical(k_s, zj).astype(jnp.int32)
+    shifted = jnp.concatenate([fed[1:], jnp.zeros(1, jnp.int32)])
+    emit = jnp.where(jnp.arange(S) == n_acc, step_tok, shifted)
+    return n_acc, emit, key
+
+
 def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
     """Standard fixed sinusoidal position table [max_len, d_model]."""
     pos = np.arange(max_len, dtype=np.float32)[:, None]
@@ -199,12 +254,22 @@ class TransformerLMInt8:
                              scales: Scales, draft: int = 15,
                              ngram: int = 3, jit: bool = True,
                              flash: bool = False,
-                             return_stats: bool = False) -> jnp.ndarray:
-        """Greedy decode with prompt-lookup speculative decoding.
+                             return_stats: bool = False,
+                             temperature: float = 0.0,
+                             top_k: Optional[int] = None,
+                             rng_key=None) -> jnp.ndarray:
+        """Speculative decoding with prompt-lookup drafts.
 
-        Outputs are BIT-IDENTICAL to ``generate`` (greedy acceptance:
-        a draft token survives only when it equals the model's own
-        argmax), but each macro-step verifies ``1 + draft`` tokens in
+        ``temperature <= 0`` (default): greedy.  Outputs are
+        BIT-IDENTICAL to ``generate`` (greedy acceptance: a draft token
+        survives only when it equals the model's own argmax).
+        ``temperature > 0``: speculative SAMPLING — each draft is
+        accepted with probability p(draft) under the temperature/top-k
+        target distribution and the first rejection draws from the
+        renormalized residual (``spec_accept_sampled``), so every
+        emitted token is distributed exactly as ``sample``'s sequential
+        draws; requires ``rng_key``, deterministic for a fixed key.
+        Either way each macro-step verifies ``1 + draft`` tokens in
         ONE batched forward instead of sequential per-token decode
         steps — accepted drafts cost a fraction of a decode step.
         Drafts come from prompt lookup (assisted generation): the most
@@ -236,9 +301,16 @@ class TransformerLMInt8:
                 "draft or the request")
         if ngram < 1:
             raise ValueError("ngram must be >= 1")
+        if top_k is not None and top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        greedy = temperature <= 0.0
+        if not greedy and rng_key is None:
+            raise ValueError(
+                "temperature > 0 requires rng_key (speculative "
+                "sampling is stochastic)")
         ML = self.max_len
 
-        def run(prompt_toks):
+        def run(prompt_toks, key):
             T = prompt_toks.shape[0]
             x = jnp.asarray(self.embed)[prompt_toks] \
                 + jnp.asarray(self.pos)[:T]
@@ -247,7 +319,12 @@ class TransformerLMInt8:
                 x, c = blk.prefill(x, scales[i],
                                    blk.init_cache(ML), flash=flash)
                 caches.append(c)
-            tok0 = jnp.argmax(self._logits(x[-1:])[0]).astype(jnp.int32)
+            first = self._logits(x[-1:])[0]
+            if greedy:
+                tok0 = jnp.argmax(first).astype(jnp.int32)
+            else:
+                key, tok0 = sampled_token(first, key, temperature,
+                                          top_k)
 
             # ctx doubles as the output buffer: prompt, then emitted
             # tokens.  t = tokens known so far; cache len = t - 1
@@ -277,33 +354,44 @@ class TransformerLMInt8:
                                  jnp.full(S - 1, last, jnp.int32))
 
             def cond(st):
-                _, _, t, n_out, _ = st
+                _, _, t, n_out, _, _ = st
                 return n_out < n_new
 
             def body(st):
-                caches, ctx, t, n_out, steps = st
+                caches, ctx, t, n_out, steps, key = st
                 last = ctx[t - 1]
                 fed = jnp.concatenate(
                     [last[None], lookup(ctx, t, last)])   # [S]
                 logits, caches = self.verify_step(caches, fed, scales)
-                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S]
-                # leading drafts equal to the model's own argmax chain
-                ok = jnp.cumprod(
-                    (fed[1:] == g[:-1]).astype(jnp.int32))
-                n_acc = jnp.sum(ok)                       # 0..S-1
-                # never emit past the budget (keeps t bounded)
+                if greedy:
+                    # leading drafts equal to the model's own argmax
+                    # chain; the whole chain is the emit vector (the
+                    # overhang past n_acc is overwritten later)
+                    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    ok = jnp.cumprod(
+                        (fed[1:] == g[:-1]).astype(jnp.int32))
+                    n_acc = jnp.sum(ok)                   # 0..S-1
+                    emit = g
+                else:
+                    z = adjust_logits(logits, temperature, top_k)
+                    n_acc, emit, key = spec_accept_sampled(z, fed, key)
+                # never emit past the budget (keeps t bounded); when
+                # the clamp binds, emit[clamped n_acc] is an ACCEPTED
+                # draft — still a valid sample from the target
                 n_acc = jnp.minimum(n_acc, n_new - 1 - n_out)
-                ctx = jax.lax.dynamic_update_slice(ctx, g, (t,))
+                ctx = jax.lax.dynamic_update_slice(ctx, emit, (t,))
                 t = t + n_acc + 1
                 n_out = n_out + n_acc + 1
                 # roll back: cache holds exactly the consumed tokens
                 caches = [dict(c, len=t - 1) for c in caches]
-                return caches, ctx, t, n_out, steps + 1
+                return caches, ctx, t, n_out, steps + 1, key
 
             caches = [dict(c) for c in caches]
+            if greedy:
+                key = jnp.zeros((2,), jnp.uint32)  # unused carry slot
             st = (caches, ctx, jnp.int32(T + 1), jnp.int32(1),
-                  jnp.int32(0))
-            _, ctx, _, _, steps = jax.lax.while_loop(cond, body, st)
+                  jnp.int32(0), key)
+            _, ctx, _, _, steps, _ = jax.lax.while_loop(cond, body, st)
             toks = jax.lax.dynamic_slice_in_dim(ctx, T, n_new)
             if return_stats:
                 # macro-steps = verify passes run; n_new / (steps + 1
@@ -311,15 +399,17 @@ class TransformerLMInt8:
                 return toks, steps
             return toks
 
+        rkey = rng_key if not greedy else jnp.zeros((2,), jnp.uint32)
         if not jit:
-            return run(jnp.asarray(prompt, jnp.int32))
+            return run(jnp.asarray(prompt, jnp.int32), rkey)
         if not hasattr(self, "_gen_cache"):
             self._gen_cache = {}
         key = ("spec", n_new, draft, ngram, flash, return_stats,
+               float(temperature), top_k,
                tuple(tuple(sorted(d.items())) for d in scales))
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(run)
-        return self._gen_cache[key](jnp.asarray(prompt, jnp.int32))
+        return self._gen_cache[key](jnp.asarray(prompt, jnp.int32), rkey)
 
     def generate(self, prompt: jnp.ndarray, n_new: int, scales: Scales,
                  jit: bool = True, parallel_prefill: bool = True,

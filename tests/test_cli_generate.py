@@ -68,6 +68,31 @@ class TestCLIGenerate:
         assert g == s                       # bit-identical via CLI too
         assert any("verify passes" in ln for ln in spec.splitlines())
 
+    def test_speculative_sampled_deterministic_per_seed(self, capsys):
+        from resnet_accel_tpu.cli import main
+
+        base = ["prog", "generate", "--n-new", "6", "--layers", "1",
+                "--d-model", "64", "--heads", "2", "--max-len", "32",
+                "--prompt", "3,4,5,3,4,5", "--speculative",
+                "--temperature", "1.0", "--sample-seed", "7"]
+        old = sys.argv
+        try:
+            sys.argv = list(base)
+            assert main() == 0
+            a = capsys.readouterr().out
+            sys.argv = list(base)
+            assert main() == 0
+            b = capsys.readouterr().out
+        finally:
+            sys.argv = old
+
+        def gen(out):
+            return [ln for ln in out.splitlines()
+                    if ln.startswith("generated:")]
+
+        assert gen(a) == gen(b)             # same seed, same tokens
+        assert any("distribution-exact" in ln for ln in a.splitlines())
+
 
 class TestBenchArtifact:
     def test_bench_artifact_synthetic(self, tmp_path, capsys):

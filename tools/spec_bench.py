@@ -9,7 +9,10 @@ verify pass processes draft+1 tokens in batched GEMMs where vanilla
 decode runs them as sequential single-token steps.
 
 Run on the tunneled TPU:  python tools/spec_bench.py
-Knobs: SPEC_DRAFT (default 7 here; model default 15), SPEC_NGRAM (3).
+Knobs: SPEC_DRAFT (default 7 here; model default 15), SPEC_NGRAM (3),
+SPEC_TEMP (default 0 = greedy; > 0 benches speculative SAMPLING vs
+sample() — outputs are distribution-exact rather than bit-equal, so
+the per-prompt check becomes first-token key-parity).
 
 MEASURED (tunneled v5e, 4L d512 INT8 byte LM trained 1500 steps on the
 corpus, prompt 640, new 256, 4 prompts, 2026-08-19), all outputs
@@ -50,6 +53,7 @@ def main():
     PROMPT, N_NEW = 640, 256
     DRAFT = int(os.environ.get("SPEC_DRAFT", "7"))
     NGRAM = int(os.environ.get("SPEC_NGRAM", "3"))
+    TEMP = float(os.environ.get("SPEC_TEMP", "0"))
 
     # Real text (reference md/py sources, byte tokens).  Speculative
     # decoding's acceptance rate is a property of the MODEL's output
@@ -112,20 +116,36 @@ def main():
         jax.block_until_ready(out)
         return out, time.perf_counter() - t0
 
+    mode = f"sampled temp={TEMP}" if TEMP > 0 else "greedy"
     print(f"4L d512 INT8 byte LM (corpus-trained), prompt {PROMPT}, "
-          f"new {N_NEW}, draft {DRAFT}", flush=True)
+          f"new {N_NEW}, draft {DRAFT}, {mode}", flush=True)
     tot_v = tot_s = 0.0
     for i, p in enumerate(prompts):
-        exp, tv = timed(model.generate, p, N_NEW, scales, jit=True)
-        (got, steps), ts = timed(
-            model.generate_speculative, p, N_NEW, scales, draft=DRAFT,
-            ngram=NGRAM, return_stats=True)
-        same = np.array_equal(np.asarray(exp), np.asarray(got))
+        if TEMP > 0:
+            key = jax.random.PRNGKey(i)
+            exp, tv = timed(model.sample, p, N_NEW, scales, key,
+                            temperature=TEMP, jit=True)
+            (got, steps), ts = timed(
+                model.generate_speculative, p, N_NEW, scales,
+                draft=DRAFT, ngram=NGRAM, return_stats=True,
+                temperature=TEMP, rng_key=key)
+            # stochastic paths only share the prefill draw — the rest
+            # is distribution-exact, not bit-equal (tested hermetically
+            # in tests/test_spec_sampling.py)
+            same = int(np.asarray(exp)[0]) == int(np.asarray(got)[0])
+            label = "tok0-parity"
+        else:
+            exp, tv = timed(model.generate, p, N_NEW, scales, jit=True)
+            (got, steps), ts = timed(
+                model.generate_speculative, p, N_NEW, scales,
+                draft=DRAFT, ngram=NGRAM, return_stats=True)
+            same = np.array_equal(np.asarray(exp), np.asarray(got))
+            label = "identical"
         tot_v += tv
         tot_s += ts
         print(f"  prompt[{i}]: vanilla {tv * 1e3:7.1f} ms  spec "
               f"{ts * 1e3:7.1f} ms  ({tv / ts:4.2f}x)  verify passes "
-              f"{int(steps):3d}/{N_NEW}  identical={same}", flush=True)
+              f"{int(steps):3d}/{N_NEW}  {label}={same}", flush=True)
         if not same:
             raise SystemExit("speculative output diverged")
     print(f"TOTAL: vanilla {tot_v * 1e3:.1f} ms  spec {tot_s * 1e3:.1f}"
