@@ -150,6 +150,10 @@ def main():
         "metric": "resnet18_int8_images_per_sec_per_chip",
         "value": round(images_per_s, 1),
         "unit": "images/s",
+        # Which throughput basis this number is (see README "One number,
+        # three bases"): chained steady-state device rate, 1-dispatch
+        # program subtracted, median over interleaved pairs.
+        "basis": "chained-steady-state",
         "vs_baseline": round(images_per_s / REFERENCE_IMAGES_PER_S, 2),
         "power_w": round(prof.avg_w, 1),
         "gops_per_w": round(prof.gops_per_w, 1),

@@ -46,10 +46,7 @@ def sampled_token(logits, key, temperature: float,
     makes the batcher's streams provably identical to sample()'s.
     """
     k2, sub = jax.random.split(key)
-    z = logits / jnp.float32(temperature)
-    if top_k is not None and top_k < z.shape[-1]:
-        kth = jax.lax.top_k(z, top_k)[0][-1]
-        z = jnp.where(z < kth, -jnp.inf, z)
+    z = adjust_logits(logits, temperature, top_k)
     return k2, jax.random.categorical(sub, z).astype(jnp.int32)
 
 
@@ -387,8 +384,8 @@ class TransformerLMInt8:
                 return caches, ctx, t, n_out, steps + 1, key
 
             caches = [dict(c) for c in caches]
-            if greedy:
-                key = jnp.zeros((2,), jnp.uint32)  # unused carry slot
+            # greedy: key is already the zeros placeholder from the
+            # call site (rkey) — single source for the unused carry slot
             st = (caches, ctx, jnp.int32(T + 1), jnp.int32(1),
                   jnp.int32(0), key)
             _, ctx, _, _, steps, _ = jax.lax.while_loop(cond, body, st)
