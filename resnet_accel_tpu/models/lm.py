@@ -63,7 +63,7 @@ def adjust_logits(logits, temperature: float,
     return z
 
 
-def spec_accept_sampled(z, fed, key):
+def spec_accept_sampled(z, fed, key, n_known=1):
     """One speculative-sampling accept/emit step for a DETERMINISTIC
     draft (prompt lookup proposes a point mass, q(d)=1).
 
@@ -73,6 +73,13 @@ def spec_accept_sampled(z, fed, key):
     and ``fed[1:]`` the drafts.  Returns ``(n_acc, emit, key)`` where
     ``emit[:n_acc]`` are the accepted drafts and ``emit[n_acc]`` the
     step token, so ``n_acc + 1`` tokens are emitted per call.
+
+    ``n_known`` (static or traced int): the leading ``n_known`` fed
+    positions are KNOWN tokens (prompt being ingested), not drafts —
+    they are accepted unconditionally and can never be the rejection
+    point, so the paged engine's mixed prefill/decode verify windows
+    reduce to the same rule.  The default (1: only ``fed[0]`` known)
+    is the single-stream ``generate_speculative`` case.
 
     The rejection rule with a point-mass proposal reduces to: accept
     draft d_i with probability p_i(d_i) (min(1, p/q) with q=1); on the
@@ -89,7 +96,8 @@ def spec_accept_sampled(z, fed, key):
     logp = jax.nn.log_softmax(z, axis=-1)             # [S, V]
     p_draft = jnp.exp(logp[jnp.arange(S - 1), fed[1:]])
     u = jax.random.uniform(k_u, (S - 1,))
-    ok = jnp.cumprod((u < p_draft).astype(jnp.int32))
+    forced = jnp.arange(1, S) < n_known
+    ok = jnp.cumprod((forced | (u < p_draft)).astype(jnp.int32))
     n_acc = jnp.sum(ok)                               # 0..S-1
     # The step token's row: the first rejected position, or S-1 when
     # everything was accepted (bonus token).  On rejection the draft's

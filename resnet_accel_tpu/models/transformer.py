@@ -189,8 +189,8 @@ class TransformerBlockInt8:
         return p.project(q, jnp.float32(s))
 
     def qkv_project(self, x_t: jnp.ndarray, scales: Dict[str, float]):
-        """LN1 + Q/K/V projections for one token [1, d_model] ->
-        three [1, d_model]."""
+        """LN1 + Q/K/V projections, row-wise: [S, d_model] -> three
+        [S, d_model] (S=1 for single-token decode)."""
         h = self._ln(x_t, self.ln1_g, self.ln1_b)
         return (self._proj(self.wq, h, scales["h1"]),
                 self._proj(self.wk, h, scales["h1"]),
@@ -244,30 +244,20 @@ class TransformerBlockInt8:
         y = self.attend_mlp(x_t, q_t, k_all, v_all, pos, scales)
         return y, cache
 
-    def verify_step(self, cache, x_s: jnp.ndarray,
-                    scales: Dict[str, float]):
-        """Multi-token causal decode: S tokens [S, d_model] at
-        positions len..len+S-1, attending the cache AND each other
-        (causally).  The speculative-decoding verify pass — one
-        batched GEMM per projection where S ``decode_step`` calls
-        would issue S tiny ones, numerically identical per row (same
-        static scales, same HIGHEST-precision einsum contraction
-        order per query).  Returns (y [S, d_model], cache with
-        len += S); callers that reject draft tokens roll ``len`` back
-        — stale K/V above ``len`` is masked by position and
-        overwritten by the next write at ``len``."""
+    def attend_mlp_multi(self, x_s: jnp.ndarray, q_s: jnp.ndarray,
+                         k_all: jnp.ndarray, v_all: jnp.ndarray, pos,
+                         scales: Dict[str, float]) -> jnp.ndarray:
+        """S-row causal attention over a K/V view (row i masks
+        positions > ``pos + i``) + output projection + MLP — the
+        verify-pass attention on an externally materialized view (a
+        contiguous cache via ``verify_step``, or the paged engine's
+        gathered page view).  ``k_all``/``v_all``: [L, d_model];
+        positions pos..pos+S-1 must already hold the S rows' K/V."""
         S = x_s.shape[0]
         D, H = self.d_model, self.n_heads
         dh = D // H
-        h = self._ln(x_s, self.ln1_g, self.ln1_b)
-        q = self._proj(self.wq, h, scales["h1"])          # [S, D]
-        k = self._proj(self.wk, h, scales["h1"])
-        v = self._proj(self.wv, h, scales["h1"])
-        pos = cache["len"]
-        k_all = jax.lax.dynamic_update_slice(cache["k"], k, (pos, 0))
-        v_all = jax.lax.dynamic_update_slice(cache["v"], v, (pos, 0))
         L = k_all.shape[0]
-        qh = q.reshape(S, H, dh).transpose(1, 0, 2)       # [H,S,dh]
+        qh = q_s.reshape(S, H, dh).transpose(1, 0, 2)     # [H,S,dh]
         kh = k_all.reshape(L, H, dh).transpose(1, 0, 2)   # [H,L,dh]
         vh = v_all.reshape(L, H, dh).transpose(1, 0, 2)
         logits = jnp.einsum(
@@ -284,8 +274,26 @@ class TransformerBlockInt8:
         x_s = x_s + self._proj(self.wo, ctx, scales["ctx"])
         h = self._ln(x_s, self.ln2_g, self.ln2_b)
         m = jax.nn.gelu(self._proj(self.w1, h, scales["h2"]))
-        y = x_s + self._proj(self.w2, m, scales["mlp"])
-        return y, {"k": k_all, "v": v_all, "len": pos + S}
+        return x_s + self._proj(self.w2, m, scales["mlp"])
+
+    def verify_step(self, cache, x_s: jnp.ndarray,
+                    scales: Dict[str, float]):
+        """Multi-token causal decode: S tokens [S, d_model] at
+        positions len..len+S-1, attending the cache AND each other
+        (causally).  The speculative-decoding verify pass — one
+        batched GEMM per projection where S ``decode_step`` calls
+        would issue S tiny ones, numerically identical per row (same
+        static scales, same HIGHEST-precision einsum contraction
+        order per query).  Returns (y [S, d_model], cache with
+        len += S); callers that reject draft tokens roll ``len`` back
+        — stale K/V above ``len`` is masked by position and
+        overwritten by the next write at ``len``."""
+        q, k, v = self.qkv_project(x_s, scales)           # [S, D] each
+        pos = cache["len"]
+        k_all = jax.lax.dynamic_update_slice(cache["k"], k, (pos, 0))
+        v_all = jax.lax.dynamic_update_slice(cache["v"], v, (pos, 0))
+        y = self.attend_mlp_multi(x_s, q, k_all, v_all, pos, scales)
+        return y, {"k": k_all, "v": v_all, "len": pos + x_s.shape[0]}
 
     # --------------------------------------------------------------- jax
     def __call__(self, x: jnp.ndarray, causal: bool = False,

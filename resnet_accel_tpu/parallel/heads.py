@@ -186,42 +186,19 @@ def make_tp_transformer_forward(
     return jax.jit(apply)
 
 
-def make_tp_decode_step(
-    mesh: Mesh,
-    block: TransformerBlockInt8,
-    scales,
-    max_len: int,
-):
-    """Head-parallel CACHED DECODE — the multi-chip serving layout.
-
-    Each rank holds only its heads' K/V cache slice
-    ``[max_len, d_model/tp]`` (so KV memory scales 1/tp, the reason
-    tensor-parallel serving exists), computes its heads' attention
-    locally, and the single cross-chip reduction is the int32 ``psum``
-    inside the output projection — same discipline as
-    make_tp_transformer_forward but with STATIC activation scales (the
-    serving path's calibrated scales: every rank quantizes
-    identically, no global absmax collective needed).
-
-    Returns ``(init_caches, step)`` where ``step(caches, x_t)`` ->
-    ``(y_t [1, d_model], caches)`` mirrors
-    ``TransformerBlockInt8.decode_step``; integer decisions are exact
-    vs the single-device step, the residual is fp32 reassociation
-    across differently-compiled programs (same bound as the tp
-    forward, tested).
-    """
-    if "tp" not in mesh.axis_names:
-        raise ValueError("mesh must have a 'tp' axis")
-    tp = mesh.shape["tp"]
+def _tp_block_cached_step(block: TransformerBlockInt8, scales,
+                          max_len: int, tp: int):
+    """Rank-local cached decode step for ONE block, to be called
+    INSIDE a shard_map over the 'tp' axis (shards WITHOUT the leading
+    stack axis).  ``x_t`` [1, d_model] replicated; ``k/v_cache``
+    rank-local head slices [max_len, d_model/tp]; static activation
+    scales.  Returns (y [1, d_model] replicated, k_cache, v_cache).
+    Shared by make_tp_decode_step (single block) and
+    make_tp_lm_generate (the full LM) so the two layouts cannot
+    drift."""
     H, D = block.n_heads, block.d_model
-    if H % tp:
-        raise ValueError(f"n_heads={H} not divisible by tp={tp}")
     h_loc, dh = H // tp, D // H
     d_ff = block.w1.d_out
-
-    qkv_shards = {name: _stack_row_shards(getattr(block, name), tp)
-                  for name in ("wq", "wk", "wv")}
-    w1_shards = _stack_row_shards(block.w1, tp)
 
     def ln(v, gamma, beta):
         mu = v.mean(axis=-1, keepdims=True)
@@ -248,11 +225,7 @@ def make_tp_decode_step(
             out = out + jnp.asarray(proj_src.bias)
         return out
 
-    def tp_step(x_t, k_cache, v_cache, length,
-                wq_s, wk_s, wv_s, w1_s):
-        # shard_map hands rank-local slices with the shard axis kept
-        wq_s, wk_s, wv_s, w1_s = (
-            tuple(a[0] for a in s) for s in (wq_s, wk_s, wv_s, w1_s))
+    def step(x_t, k_cache, v_cache, length, wq_s, wk_s, wv_s, w1_s):
         rank = jax.lax.axis_index("tp")
 
         h = ln(x_t, block.ln1_g, block.ln1_b)
@@ -291,6 +264,54 @@ def make_tp_decode_step(
             hid_full, hid, (0, rank * (d_ff // tp)))
         y = x_t + full_proj_psum(
             block.w2, q_static(hid_full, scales["mlp"]), scales["mlp"])
+        return y, k_cache, v_cache
+
+    return step
+
+
+def make_tp_decode_step(
+    mesh: Mesh,
+    block: TransformerBlockInt8,
+    scales,
+    max_len: int,
+):
+    """Head-parallel CACHED DECODE — the multi-chip serving layout.
+
+    Each rank holds only its heads' K/V cache slice
+    ``[max_len, d_model/tp]`` (so KV memory scales 1/tp, the reason
+    tensor-parallel serving exists), computes its heads' attention
+    locally, and the single cross-chip reduction is the int32 ``psum``
+    inside the output projection — same discipline as
+    make_tp_transformer_forward but with STATIC activation scales (the
+    serving path's calibrated scales: every rank quantizes
+    identically, no global absmax collective needed).
+
+    Returns ``(init_caches, step)`` where ``step(caches, x_t)`` ->
+    ``(y_t [1, d_model], caches)`` mirrors
+    ``TransformerBlockInt8.decode_step``; integer decisions are exact
+    vs the single-device step, the residual is fp32 reassociation
+    across differently-compiled programs (same bound as the tp
+    forward, tested).
+    """
+    if "tp" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'tp' axis")
+    tp = mesh.shape["tp"]
+    H, D = block.n_heads, block.d_model
+    if H % tp:
+        raise ValueError(f"n_heads={H} not divisible by tp={tp}")
+
+    qkv_shards = {name: _stack_row_shards(getattr(block, name), tp)
+                  for name in ("wq", "wk", "wv")}
+    w1_shards = _stack_row_shards(block.w1, tp)
+    blk_step = _tp_block_cached_step(block, scales, max_len, tp)
+
+    def tp_step(x_t, k_cache, v_cache, length,
+                wq_s, wk_s, wv_s, w1_s):
+        # shard_map hands rank-local slices with the shard axis kept
+        wq_s, wk_s, wv_s, w1_s = (
+            tuple(a[0] for a in s) for s in (wq_s, wk_s, wv_s, w1_s))
+        y, k_cache, v_cache = blk_step(
+            x_t, k_cache, v_cache, length, wq_s, wk_s, wv_s, w1_s)
         return y, k_cache, v_cache, length + 1
 
     cache_spec = P(None, "tp")   # [max_len, D] feature-sharded
@@ -318,3 +339,121 @@ def make_tp_decode_step(
         return y, {"k": k, "v": v, "len": n}
 
     return init_caches, step
+
+
+def make_tp_lm_generate(
+    mesh: Mesh,
+    model,
+    scales,
+    n_new: int,
+    max_len: int = None,
+    batched: bool = False,
+):
+    """Head-parallel cached GREEDY GENERATE of the FULL LM — the
+    multi-chip serving layout end to end (embedding -> every block with
+    per-rank KV slices -> final LN -> tied readout), not just one block
+    (make_tp_decode_step).
+
+    Each rank holds every block's row shards of wq/wk/wv/w1 and a
+    ``[max_len, d_model/tp]`` K/V slice per block (KV memory scales
+    1/tp); the only cross-chip traffic is the int32 ``psum`` inside
+    each block's wo/w2 projections — integer decisions are exact vs
+    the single-device ``TransformerLMInt8.generate``, so greedy tokens
+    are identical up to fp32 reassociation at argmax ties (tested
+    token-exact on the virtual mesh).  Prefill is a scan of cached
+    decode steps (numerically identical to the parallel prefill under
+    static scales — models/lm.py documents the equivalence).
+
+    ``batched=True``: the serving composition — ``prompt`` is [B, T]
+    with B sharded over the mesh's 'dp' axis and each dp group running
+    the tp-sharded generate on its local sequences (vmapped rank-local
+    program; the tp psum composes under vmap).  Returns [B, n_new].
+
+    Reference note: the reference is single-accelerator (SURVEY.md
+    §2.4); this is the beyond-parity multi-chip serving path the
+    README's architecture table claims.
+    """
+    if "tp" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'tp' axis")
+    if batched and "dp" not in mesh.axis_names:
+        raise ValueError("batched=True needs a 'dp' axis")
+    tp = mesh.shape["tp"]
+    blocks = model.blocks
+    D = model.d_model
+    ML = model.max_len if max_len is None else max_len
+    if ML > model.max_len:
+        raise ValueError(f"max_len {ML} exceeds the position table "
+                         f"({model.max_len})")
+    for blk in blocks:
+        if blk.n_heads % tp:
+            raise ValueError(
+                f"n_heads={blk.n_heads} not divisible by tp={tp}")
+
+    steps = [_tp_block_cached_step(blk, scales[i], ML, tp)
+             for i, blk in enumerate(blocks)]
+    # 16 shard arrays per block (4 projections x 4 arrays), flattened
+    # for shard_map specs
+    flat_shards = []
+    for blk in blocks:
+        for name in ("wq", "wk", "wv", "w1"):
+            flat_shards.extend(_stack_row_shards(getattr(blk, name), tp))
+    embed = jnp.asarray(model.embed)
+    pos_table = jnp.asarray(model.pos)
+    lnf_g, lnf_b = jnp.asarray(model.lnf_g), jnp.asarray(model.lnf_b)
+
+    def one_sequence(prompt, shards):
+        """Rank-local greedy generate of one sequence (prompt [T])."""
+
+        def decode(carry, tok):
+            ks, vs, pos = carry
+            x = embed[tok][None, :] + pos_table[pos][None, :]
+            new_ks, new_vs = [], []
+            for i, st in enumerate(steps):
+                x, k, v = st(x, ks[i], vs[i], pos, *shards[i])
+                new_ks.append(k)
+                new_vs.append(v)
+            mu = x.mean(axis=-1, keepdims=True)
+            var = x.var(axis=-1, keepdims=True)
+            h = (x - mu) * jax.lax.rsqrt(var + LN_EPS) * lnf_g + lnf_b
+            logits = jnp.einsum(
+                "td,vd->tv", h, embed,
+                precision=jax.lax.Precision.HIGHEST)[0]
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (new_ks, new_vs, pos + 1), nxt
+
+        k0 = [jnp.zeros((ML, D // tp), jnp.float32) for _ in blocks]
+        v0 = [jnp.zeros((ML, D // tp), jnp.float32) for _ in blocks]
+        carry, outs = jax.lax.scan(decode, (k0, v0, jnp.int32(0)),
+                                   prompt)                  # prefill
+        tok = outs[-1]
+
+        def gen(ct, _):
+            carry, tok = ct
+            carry, nxt = decode(carry, tok)
+            return (carry, nxt), tok
+
+        (_, _), toks = jax.lax.scan(gen, (carry, tok), None,
+                                    length=n_new)
+        return toks
+
+    def lm_program(prompt, *flat):
+        # regroup + drop the leading shard-stack axis once
+        shards = []
+        for b in range(len(blocks)):
+            blk_flat = flat[16 * b:16 * (b + 1)]
+            shards.append(tuple(
+                tuple(a[0] for a in blk_flat[4 * j:4 * (j + 1)])
+                for j in range(4)))
+        if batched:
+            return jax.vmap(lambda p: one_sequence(p, shards))(prompt)
+        return one_sequence(prompt, shards)
+
+    prompt_spec = P("dp") if batched else P()
+    fwd = shard_map(
+        lm_program, mesh=mesh,
+        in_specs=(prompt_spec,) + (P("tp"),) * len(flat_shards),
+        out_specs=prompt_spec,
+        check_vma=False,
+    )
+    return jax.jit(lambda prompt: fwd(jnp.asarray(prompt, jnp.int32),
+                                      *flat_shards))

@@ -76,7 +76,8 @@ class PagedKVBatcher(_IterationScheduler):
                  pool_pages: int = 64, max_pages: Optional[int] = None,
                  chunk: int = 8, temperature: float = 0.0,
                  top_k: Optional[int] = None, reserve: str = "full",
-                 prefix_cache: bool = False, kv_dtype: str = "fp32"):
+                 prefix_cache: bool = False, kv_dtype: str = "fp32",
+                 spec_draft: int = 0, spec_ngram: int = 3):
         if slots < 1:
             raise ValueError("slots must be >= 1")
         if chunk < 1:
@@ -86,6 +87,10 @@ class PagedKVBatcher(_IterationScheduler):
         if reserve not in ("full", "ondemand"):
             raise ValueError(
                 f"reserve must be 'full' or 'ondemand', got {reserve!r}")
+        if spec_draft < 0:
+            raise ValueError("spec_draft must be >= 0")
+        if spec_draft and spec_ngram < 1:
+            raise ValueError("spec_ngram must be >= 1")
         self.model = model
         self.scales = scales
         self.slots = int(slots)
@@ -97,6 +102,23 @@ class PagedKVBatcher(_IterationScheduler):
         self.max_pages = int(max_pages)
         self.max_len = min(self.max_pages * self.page, model.max_len)
         self.chunk = int(chunk)
+        # Speculative decoding (spec_draft > 0): every engine iteration
+        # runs ONE batched verify of S = spec_draft + 1 tokens per slot
+        # instead of `chunk` sequential micro-steps.  The verify window
+        # writes K/V up to S - 1 positions past a request's final
+        # length (the overhang), so admission reserves ceil((total +
+        # S - 1) / page) pages and the block table is widened by the
+        # overhang pages — a near-max_len request's overhang writes
+        # must land in pages it owns, never clobber the last valid
+        # page (the contiguous path's max_len guard, paged form).
+        self.spec_draft = int(spec_draft)
+        self.spec_ngram = int(spec_ngram)
+        spec = self.spec_draft > 0
+        S = self.spec_draft + 1
+        self._overhang = S - 1 if spec else 0
+        self._win = S if spec else self.chunk
+        self._table_pages = self.max_pages + (
+            -(-self._overhang // self.page) if spec else 0)
         self.temperature = float(temperature)
         if top_k is not None and top_k < 1:
             raise ValueError(f"top_k must be >= 1, got {top_k}")
@@ -135,7 +157,7 @@ class PagedKVBatcher(_IterationScheduler):
             self._pool_k = jnp.zeros(
                 (L, self.pool_pages, self.page, D), jnp.float32)
             self._pool_v = jnp.zeros_like(self._pool_k)
-        self._tables = jnp.zeros((self.slots, self.max_pages),
+        self._tables = jnp.zeros((self.slots, self._table_pages),
                                  jnp.int32)          # 0 = dummy page
         self._lens = jnp.zeros(self.slots, jnp.int32)
         self._free: List[int] = list(range(1, self.pool_pages))
@@ -184,12 +206,14 @@ class PagedKVBatcher(_IterationScheduler):
                     jnp.where(adv, k2, key))
 
         def _store(pool, li, pids, offs, val):
-            """Scatter one token's K or V rows [B, D] into the pool."""
+            """Scatter K or V rows into the pool: [B, D] with [B]
+            page ids/offsets (one token per slot), or [B, S, D] with
+            [B, S] ids/offsets (a verify window per slot)."""
             if not kv_int8:
                 return pool.at[li, pids, offs, :].set(val)
             s = jnp.maximum(jnp.max(jnp.abs(val), axis=-1),
-                            1e-8) / 127.0                 # [B]
-            q = jnp.clip(jnp.rint(val / s[:, None]),
+                            1e-8) / 127.0                 # [B] / [B,S]
+            q = jnp.clip(jnp.rint(val / s[..., None]),
                          -128, 127).astype(jnp.int8)
             return {"q": pool["q"].at[li, pids, offs, :].set(q),
                     "s": pool["s"].at[li, pids, offs].set(s)}
@@ -249,6 +273,74 @@ class PagedKVBatcher(_IterationScheduler):
 
         self._chunk_step = jax.jit(chunk_step, donate_argnums=(0, 1))
 
+        if spec:
+            from resnet_accel_tpu.models.lm import (adjust_logits,
+                                                    spec_accept_sampled)
+            ML = model.max_len
+
+            def accept(z_rows, fed_row, nk, key, emits_flag):
+                """Per-slot acceptance on [S, V] verify logits.
+                Greedy: a draft survives while it equals the model's
+                own argmax chain; rows i < nk are KNOWN tokens (prompt
+                ingestion) and accept unconditionally — chunked prefill
+                and speculative decode are one rule.  Sampled: the
+                shared ``spec_accept_sampled`` (distribution-exact);
+                the PRNG chain only advances on slots whose window can
+                emit, so a request's stream is independent of how many
+                pure-prefill iterations preceded it."""
+                if greedy:
+                    g = jnp.argmax(z_rows, axis=-1).astype(jnp.int32)
+                    forced = jnp.arange(1, S) < nk
+                    ok = jnp.cumprod(
+                        (forced | (fed_row[1:] == g[:-1])).astype(
+                            jnp.int32))
+                    return jnp.sum(ok) + 1, g, key
+                z = adjust_logits(z_rows, temp, top_k_)
+                n_acc, emit, k2 = spec_accept_sampled(z, fed_row, key,
+                                                      n_known=nk)
+                return (n_acc + 1, emit,
+                        jnp.where(emits_flag, k2, key))
+
+            def spec_step(pool_k, pool_v, tables, lens, fed, n_known,
+                          keys, emits, idle):
+                """ONE speculative macro-step for every slot: verify
+                S = spec_draft + 1 tokens per slot (host-built windows
+                of known prompt tokens + prompt-lookup drafts) in one
+                batched forward over the paged KV, accept on-device,
+                advance each slot by its accepted count.  K/V scatters
+                are per-token-position, so a window spans page
+                boundaries naturally; rejected positions stay in the
+                pool but are masked by ``lens`` and overwritten by the
+                next window at the same positions.  Positions past the
+                position table (final-window overhang) clamp to its
+                last row — those rows can only produce tokens past the
+                request's budget, which the host discards."""
+                pos_idx = lens[:, None] + jnp.arange(S)[None, :]
+                x = embed[fed] \
+                    + pos_table[jnp.minimum(pos_idx, ML - 1)]  # [B,S,D]
+                prow = jnp.minimum(pos_idx // page_sz,
+                                   tables.shape[1] - 1)
+                pids = jnp.take_along_axis(tables, prow, axis=1)
+                offs = pos_idx % page_sz                   # [B, S]
+                for li, blk in enumerate(blocks):
+                    q, k, v = jax.vmap(
+                        lambda xs: blk.qkv_project(xs, scales[li]))(x)
+                    pool_k = _store(pool_k, li, pids, offs, k)
+                    pool_v = _store(pool_v, li, pids, offs, v)
+                    k_view = _view(pool_k, li, tables, k.shape[-1])
+                    v_view = _view(pool_v, li, tables, v.shape[-1])
+                    x = jax.vmap(
+                        lambda xs, qs, kv, vv, p: blk.attend_mlp_multi(
+                            xs, qs, kv, vv, p, scales[li])
+                    )(x, q, k_view, v_view, lens)
+                logits = jax.vmap(model._logits)(x)        # [B, S, V]
+                n_cons, emit, keys = jax.vmap(accept)(
+                    logits, fed, n_known, keys, emits)
+                lens = jnp.where(idle, 0, lens + n_cons)
+                return pool_k, pool_v, lens, keys, emit, n_cons
+
+            self._spec_step = jax.jit(spec_step, donate_argnums=(0, 1))
+
         self._queue: List[_Request] = []
         self._active: Dict[int, _Request] = {}
         self._results: Dict[int, List[int]] = {}
@@ -264,16 +356,18 @@ class PagedKVBatcher(_IterationScheduler):
         """Enqueue a request; admitted when enough KV pages are free."""
         prompt = self._validated_prompt(prompt, n_new,
                                         "the block-table capacity")
-        need = -(-(len(prompt) + n_new) // self.page)
+        need = -(-(len(prompt) + n_new + self._overhang) // self.page)
         if need > self.pool_pages - 1:
             raise ValueError(
-                f"request needs {need} KV pages but the pool only has "
+                f"request needs {need} KV pages (incl. the speculative "
+                f"verify overhang) but the pool only has "
                 f"{self.pool_pages - 1} allocatable — it could never "
                 "be admitted")
         return self._enqueue(prompt, n_new, seed, eos)
 
     def _pages_needed(self, req: _Request) -> int:
-        return -(-(len(req.prompt) + req.n_new) // self.page)
+        return -(-(len(req.prompt) + req.n_new + self._overhang)
+                 // self.page)
 
     def free_pages(self) -> int:
         return len(self._free)
@@ -340,11 +434,11 @@ class PagedKVBatcher(_IterationScheduler):
             req = self._queue[0]
             shared = self._cached_prefix(req)
             fed0 = len(shared) * self.page
-            total = len(req.prompt) + req.n_new
+            total = len(req.prompt) + req.n_new + self._overhang
             if self.reserve == "full":
                 need = -(-total // self.page) - len(shared)
             else:
-                need = (-(-min(total, fed0 + self.chunk) // self.page)
+                need = (-(-min(total, fed0 + self._win) // self.page)
                         - len(shared))
             need = max(need, 0)
             if need > self._available():
@@ -363,7 +457,7 @@ class PagedKVBatcher(_IterationScheduler):
             self._slot_shared[slot] = len(shared)
             self._slot_req[slot] = req
             self._slot_len[slot] = fed0
-            row = np.zeros(self.max_pages, np.int32)
+            row = np.zeros(self._table_pages, np.int32)
             row[:len(pages)] = pages
             self._tables = self._tables.at[slot].set(jnp.asarray(row))
             self._lens = self._lens.at[slot].set(fed0)
@@ -421,8 +515,8 @@ class PagedKVBatcher(_IterationScheduler):
             if slot not in self._active:
                 continue          # preempted by an earlier iteration
             req = self._active[slot]
-            total = len(req.prompt) + req.n_new
-            target = min(total, self._slot_len[slot] + self.chunk)
+            total = len(req.prompt) + req.n_new + self._overhang
+            target = min(total, self._slot_len[slot] + self._win)
             need = -(-target // self.page)
             grow = need - len(self._slot_pages[slot])
             while grow > self._available():
@@ -436,7 +530,7 @@ class PagedKVBatcher(_IterationScheduler):
             if slot not in self._active or grow <= 0:
                 continue
             self._slot_pages[slot].extend(self._alloc_pages(grow))
-            row = np.zeros(self.max_pages, np.int32)
+            row = np.zeros(self._table_pages, np.int32)
             pages = self._slot_pages[slot]
             row[:len(pages)] = pages
             self._tables = self._tables.at[slot].set(jnp.asarray(row))
@@ -475,13 +569,110 @@ class PagedKVBatcher(_IterationScheduler):
         self._free.extend(own[keep:])
         self._slot_len.pop(slot, None)
         self._tables = self._tables.at[slot].set(
-            jnp.zeros(self.max_pages, jnp.int32))
+            jnp.zeros(self._table_pages, jnp.int32))
+
+    # ------------------------------------------------ speculative mode
+    def _draft(self, ctx: List[int], need: int) -> List[int]:
+        """Prompt-lookup drafts (host-side): the continuation of the
+        most recent strictly-earlier occurrence of the last
+        ``spec_ngram`` tokens of ``ctx``, padded by repeating the last
+        token (cheap filler — usually rejected, and the verify pass
+        runs regardless).  Same proposal rule as the single-stream
+        ``TransformerLMInt8.generate_speculative`` lookup, computed on
+        the host because the paged engine's chain (prompt + emitted)
+        lives host-side between dispatches."""
+        if need <= 0:
+            return []
+        n, g = len(ctx), self.spec_ngram
+        if n > g:
+            a = np.asarray(ctx, np.int32)
+            # windows starting at 0..n-g-1 (strictly before the suffix)
+            wins = np.stack([a[j:j + n - g] for j in range(g)], axis=1)
+            hits = np.flatnonzero(np.all(wins == a[None, -g:], axis=1))
+            if hits.size:
+                p = int(hits[-1])
+                cont = ctx[p + g:p + g + need]
+                return cont + [ctx[-1]] * (need - len(cont))
+        return [ctx[-1]] * need
+
+    def _step_spec(self) -> bool:
+        """One speculative engine iteration: build each active slot's
+        S-token verify window (unfed known tokens first — prompt still
+        being ingested, or the newest emitted token — then prompt-lookup
+        drafts continuing the chain), run ONE batched paged verify, and
+        consume each slot's device-accepted count.  ``_slot_len`` is
+        the host mirror of the device ``lens`` (= tokens with valid
+        KV); emitted tokens are the accept vector's rows that predict
+        positions at/past the prompt end, truncated host-side at the
+        request budget / EOS."""
+        self._admit()
+        if self.reserve == "ondemand":
+            self._ensure_pages()
+        if not self._active:
+            return bool(self._queue)
+
+        S = self.spec_draft + 1
+        fed = np.zeros((self.slots, S), np.int32)
+        n_known = np.zeros(self.slots, np.int32)
+        emits = np.zeros(self.slots, bool)
+        consumed0: Dict[int, int] = {}
+        for slot, req in self._active.items():
+            ctx = req.prompt + req.out
+            consumed = self._slot_len[slot]
+            consumed0[slot] = consumed
+            known = ctx[consumed:consumed + S]
+            nk = len(known)
+            fed[slot] = known + self._draft(ctx, S - nk)
+            n_known[slot] = nk
+            # some verify row predicts a position at/past the prompt
+            # end -> this window can emit (and consumes randomness)
+            emits[slot] = consumed + S >= len(req.prompt)
+        idle = np.array([s not in self._active
+                         for s in range(self.slots)])
+
+        (self._pool_k, self._pool_v, self._lens, self._keys, emit,
+         n_cons) = self._spec_step(
+            self._pool_k, self._pool_v, self._tables, self._lens,
+            jnp.asarray(fed), jnp.asarray(n_known), self._keys,
+            jnp.asarray(emits), jnp.asarray(idle))
+        self.steps += 1
+        self.micro_steps += S
+        emit = np.asarray(emit)
+        n_cons = np.asarray(n_cons)
+
+        for slot in list(self._active):
+            req = self._active[slot]
+            consumed = consumed0[slot]
+            take = int(n_cons[slot])
+            # fed first: req.done (budget/EOS truncation below) checks
+            # prefilling = fed < len(prompt), which must reflect THIS
+            # window's prompt consumption before any append
+            req.fed = min(len(req.prompt), consumed + take)
+            for p in range(take):
+                # the token at chain position consumed + 1 + p: a
+                # prompt token (pure consumption) or a newly generated
+                # one (append until the request is done)
+                if consumed + 1 + p >= len(req.prompt) and not req.done:
+                    req.out.append(int(emit[slot, p]))
+            self._slot_len[slot] = consumed + take
+            if req.done:
+                total = req.total_new if req.total_new is not None \
+                    else req.n_new
+                self._results[req.rid] = \
+                    (req.emitted + req.out)[:total]
+                del self._active[slot]
+                self._on_slot_free(slot)
+        return bool(self._active or self._queue)
 
     def step_engine(self) -> bool:
         """One engine iteration (ONE device dispatch).  Returns False
         when idle.  Scheduling is the shared _IterationScheduler; this
         adds page admission/growth/release (and, in ondemand mode,
-        preemption) around it."""
+        preemption) around it.  With ``spec_draft > 0`` the iteration
+        is a speculative verify window instead of ``chunk``
+        micro-steps (see _step_spec)."""
+        if self.spec_draft:
+            return self._step_spec()
         self._admit()
         if self.reserve == "ondemand":
             self._ensure_pages()

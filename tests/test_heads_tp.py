@@ -90,3 +90,62 @@ class TestHeadParallelDecode:
         shard_shapes = {s.data.shape
                         for s in cache["k"].addressable_shards}
         assert shard_shapes == {(16, 128 // 4)}
+
+
+class TestFullLMTensorParallel:
+    """make_tp_lm_generate: the FULL LM (embedding -> N blocks with
+    per-rank KV -> tied readout) tp-sharded, token-identical to the
+    single-device generate; plus the dp x tp batched-serving
+    composition."""
+
+    @pytest.fixture(scope="class")
+    def lm(self):
+        from resnet_accel_tpu.models.lm import TransformerLMInt8
+        model = TransformerLMInt8.from_random(
+            seed=3, vocab=47, d_model=64, n_heads=4, n_layers=2,
+            d_ff=128, max_len=32, sparsity=0.5)
+        rng = np.random.default_rng(2)
+        scales = model.calibrate(rng.integers(0, 47, 20))
+        return model, scales
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_tokens_match_single_device(self, cpu_devs, lm, tp):
+        from resnet_accel_tpu.parallel.heads import make_tp_lm_generate
+        model, scales = lm
+        mesh = Mesh(np.array(cpu_devs[:tp]), ("tp",))
+        gen = make_tp_lm_generate(mesh, model, scales, n_new=8)
+        prompt = np.array([5, 9, 2, 11, 7], np.int32)
+        got = np.asarray(gen(prompt))
+        want = np.asarray(model.generate(prompt, 8, scales, jit=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_dp_tp_batched_serving_step(self, cpu_devs, lm):
+        from resnet_accel_tpu.parallel.heads import make_tp_lm_generate
+        if len(jax.devices("cpu")) < 4:
+            pytest.skip("need 4 devices for dp2 x tp2")
+        model, scales = lm
+        mesh = Mesh(np.array(jax.devices("cpu")[:4]).reshape(2, 2),
+                    ("dp", "tp"))
+        gen = make_tp_lm_generate(mesh, model, scales, n_new=6,
+                                  batched=True)
+        prompts = np.array([[5, 9, 2, 11], [3, 3, 8, 1],
+                            [7, 0, 40, 2], [12, 12, 12, 12]], np.int32)
+        got = np.asarray(gen(prompts))                  # [4, 6]
+        for b in range(4):
+            want = np.asarray(model.generate(prompts[b], 6, scales,
+                                             jit=True))
+            np.testing.assert_array_equal(got[b], want, err_msg=str(b))
+
+    def test_validation(self, cpu_devs, lm):
+        from resnet_accel_tpu.parallel.heads import make_tp_lm_generate
+        model, scales = lm
+        mesh = Mesh(np.array(cpu_devs[:2]), ("dp",))
+        with pytest.raises(ValueError, match="'tp' axis"):
+            make_tp_lm_generate(mesh, model, scales, n_new=4)
+        mesh = Mesh(np.array(cpu_devs[:2]), ("tp",))
+        with pytest.raises(ValueError, match="'dp' axis"):
+            make_tp_lm_generate(mesh, model, scales, n_new=4,
+                                batched=True)
+        with pytest.raises(ValueError, match="position table"):
+            make_tp_lm_generate(mesh, model, scales, n_new=4,
+                                max_len=999)
