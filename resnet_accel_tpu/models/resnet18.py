@@ -171,6 +171,40 @@ def fold_bn(
     return w.astype(np.float32), b.astype(np.float32)
 
 
+def fold_all_bn(params_fp32: Dict[str, np.ndarray], stages=None,
+                bottleneck: bool = False) -> Dict[str, np.ndarray]:
+    """Fold every BatchNorm of a torchvision-style flat dict into its
+    conv: {conv: w', conv+'.bias': b'} for the whole trunk plus the fc
+    passthrough — the folding quantize_resnet18 deploys, shared with QAT
+    (train/qat.py) so both see the identical inference arithmetic."""
+    stages = STAGES if stages is None else stages
+    folded: Dict[str, np.ndarray] = {}
+
+    def fold(conv_name, bn_name):
+        w, b = fold_bn(
+            params_fp32[f"{conv_name}.weight"],
+            params_fp32[f"{bn_name}.weight"],
+            params_fp32[f"{bn_name}.bias"],
+            params_fp32[f"{bn_name}.running_mean"],
+            params_fp32[f"{bn_name}.running_var"])
+        folded[conv_name] = w
+        folded[conv_name + ".bias"] = b
+
+    fold("conv1", "bn1")
+    for si, (out_c, blocks, _) in enumerate(stages, start=1):
+        for b in range(blocks):
+            base = f"layer{si}.{b}"
+            fold(f"{base}.conv1", f"{base}.bn1")
+            fold(f"{base}.conv2", f"{base}.bn2")
+            if bottleneck:
+                fold(f"{base}.conv3", f"{base}.bn3")
+            if f"{base}.downsample.0.weight" in params_fp32:
+                fold(f"{base}.downsample.0", f"{base}.downsample.1")
+    folded["fc.weight"] = params_fp32["fc.weight"]
+    folded["fc.bias"] = params_fp32["fc.bias"]
+    return folded
+
+
 # ==========================================================================
 # Quantized model structure
 # ==========================================================================
@@ -382,30 +416,8 @@ def quantize_resnet18(
     """
     stages = STAGES if stages is None else stages
     # ---- 1. fold BN into convs ------------------------------------------
-    folded: Dict[str, np.ndarray] = {}
-
-    def fold(conv_name, bn_name):
-        w, b = fold_bn(
-            params_fp32[f"{conv_name}.weight"],
-            params_fp32[f"{bn_name}.weight"],
-            params_fp32[f"{bn_name}.bias"],
-            params_fp32[f"{bn_name}.running_mean"],
-            params_fp32[f"{bn_name}.running_var"])
-        folded[conv_name] = w
-        folded[conv_name + ".bias"] = b
-
-    fold("conv1", "bn1")
-    for si, (out_c, blocks, _) in enumerate(stages, start=1):
-        for b in range(blocks):
-            base = f"layer{si}.{b}"
-            fold(f"{base}.conv1", f"{base}.bn1")
-            fold(f"{base}.conv2", f"{base}.bn2")
-            if bottleneck:
-                fold(f"{base}.conv3", f"{base}.bn3")
-            if f"{base}.downsample.0.weight" in params_fp32:
-                fold(f"{base}.downsample.0", f"{base}.downsample.1")
-    folded["fc.weight"] = params_fp32["fc.weight"]
-    folded["fc.bias"] = params_fp32["fc.bias"]
+    folded = fold_all_bn(params_fp32, stages=stages,
+                         bottleneck=bottleneck)
 
     # ---- 2. calibrate activation scales ---------------------------------
     calib_x = np.asarray(calib_x, np.float32)

@@ -58,6 +58,8 @@ EPOCHS_FINETUNE = 2
 BATCH = 128
 CALIB_N = 512
 PERCENTILE = 99.9   # activation-calibration clip (reference discipline)
+EPOCHS_QAT = 2
+QAT_LR = 5e-4
 
 
 def load_all(seed: int = 0):
@@ -154,7 +156,7 @@ def make_cfgs(params_np):
     return cfgs
 
 
-def run_fold(fold, x, y, n_val, t0):
+def run_fold(fold, x, y, n_val, t0, qat=True):
     from resnet_accel_tpu.models.resnet18 import (attach_bsr,
                                                   quantize_resnet18)
     from resnet_accel_tpu.train.blocksparse import (
@@ -234,6 +236,35 @@ def run_fold(fold, x, y, n_val, t0):
     print(f"[fold {fold}] int8(pruned@90%): {r['int8_of_pruned']:.4f} "
           f"paired delta {d:+.4f} +-{h:.4f}", flush=True)
 
+    # ---- 3b. QAT at the 90% level: quant-aware fine-tune THROUGH the
+    # deployed arithmetic (frozen-BN fold + per-channel weight fake-quant
+    # + fixed percentile-calibrated activation taps), masks re-applied
+    # every step, then the same PTQ export ---------------------------------
+    if qat:
+        from resnet_accel_tpu.train.qat import qat_finetune_resnet
+        flat_q = qat_finetune_resnet(
+            merge_params(
+                {k: np.asarray(v) for k, v in cur.params.items()},
+                {k: np.asarray(v) for k, v in cur.bn_state.items()}),
+            xtr, ytr, epochs=EPOCHS_QAT, batch_size=BATCH, lr=QAT_LR,
+            seed=2, small_input=True, mask_fn=mask_fn,
+            calib_x=xtr[:CALIB_N], calib_batch_size=128,
+            calib_percentile=PERCENTILE)
+        model_q = quantize_resnet18(
+            flat_q, xtr[:CALIB_N], num_classes=10, small_input=True,
+            calib_batch_size=128, calib_percentile=PERCENTILE)
+        p_i8q = preds_int8(model_q, xva)
+        r["int8_of_pruned_qat"] = float((p_i8q == yva).mean())
+        d, h, n01, n10 = paired_delta(p_pruned, p_i8q, yva)
+        r["pruned_qat_paired"] = {"delta": d, "ci95": h, "n01": n01,
+                                  "n10": n10}
+        print(f"[fold {fold}] int8(pruned@90% QAT): "
+              f"{r['int8_of_pruned_qat']:.4f} paired delta vs fp32 "
+              f"{d:+.4f} +-{h:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+    else:
+        p_i8q = p_i8
+
     # ---- 4. sparse INT8 serving (zero-skip BSR) ---------------------------
     sparse = attach_bsr(model, block=128, min_sparsity=0.25)
     n_sparse = sum(1 for _, qc in sparse.named_convs()
@@ -248,7 +279,8 @@ def run_fold(fold, x, y, n_val, t0):
           f"{'== dense-serving preds' if ok else '(differs)'}", flush=True)
     # per-image correctness for pooled stats
     r["_pool"] = {"dense": p_dense, "dense_i8": p_dense_i8,
-                  "pruned": p_pruned, "pruned_i8": p_i8, "y": yva}
+                  "pruned": p_pruned, "pruned_i8": p_i8,
+                  "pruned_i8_qat": p_i8q, "y": yva}
     return r
 
 
@@ -256,6 +288,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--folds", type=int, default=1,
                     help="rotating held-out folds (5 = full 10k eval)")
+    ap.add_argument("--no-qat", action="store_true",
+                    help="skip the stage-3b quant-aware fine-tune")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -269,9 +303,9 @@ def main():
                "folds": []}
 
     pools = {k: [] for k in ("dense", "dense_i8", "pruned", "pruned_i8",
-                             "y")}
+                             "pruned_i8_qat", "y")}
     for fold in range(args.folds):
-        r = run_fold(fold, x, y, n_val, t0)
+        r = run_fold(fold, x, y, n_val, t0, qat=not args.no_qat)
         pool = r.pop("_pool")
         for k in pools:
             pools[k].append(pool[k])
@@ -287,7 +321,8 @@ def main():
         acc = float((P[key] == P["y"]).mean())
         summary[name] = {"acc": acc, "ci95": ci95(acc, n)}
     for name, a, b in (("ptq_dense", "dense", "dense_i8"),
-                       ("ptq_pruned", "pruned", "pruned_i8")):
+                       ("ptq_pruned", "pruned", "pruned_i8"),
+                       ("qat_pruned", "pruned", "pruned_i8_qat")):
         d, h, n01, n10 = paired_delta(P[a], P[b], P["y"])
         summary[name + "_paired_delta"] = {
             "delta": d, "ci95": h, "n01": n01, "n10": n10}
@@ -329,6 +364,9 @@ def main():
           f"± {d['ci95']:.2%}")
     d = s["ptq_pruned_paired_delta"]
     print(f"paired fp32->INT8 delta (pruned): {d['delta']:+.2%} "
+          f"± {d['ci95']:.2%}")
+    d = s["qat_pruned_paired_delta"]
+    print(f"paired fp32->INT8 delta (pruned, QAT): {d['delta']:+.2%} "
           f"± {d['ci95']:.2%}")
 
 
