@@ -142,7 +142,7 @@ class PagedKVBatcher(_IterationScheduler):
             # (the HBM gather moves 4x fewer KV bytes and the pool
             # commits ~(D+4)/(4D) of the fp32 memory: ~3.9x smaller at
             # d_model 256).  Lossy by design (documented; quality
-            # measured in tools/kv8_bench.py) — unlike everything else
+            # measured in tools/kv8_quality.py) — unlike everything else
             # in the serving path it is NOT bit-equal to generate().
             def _zero_pool():
                 return {
@@ -273,6 +273,33 @@ class PagedKVBatcher(_IterationScheduler):
 
         self._chunk_step = jax.jit(chunk_step, donate_argnums=(0, 1))
 
+        def score_chunk(pool_k, pool_v, tables, lens, toks, targets,
+                        valid):
+            """Teacher-forced scoring chunk: feed ``toks`` [B, C] through
+            the SAME paged micro_step (page-table gather/scatter,
+            kv_dtype quantization) and return the fp32 log-probs each
+            position assigns its ``targets`` token, 0 where ``valid``
+            is False.  The perplexity endpoint measured on the exact
+            serving arithmetic."""
+            def body(carry, ttv):
+                pool_k, pool_v, lens = carry
+                t, tgt, v = ttv
+                pool_k, pool_v, logits = micro_step(
+                    pool_k, pool_v, tables, lens, t)
+                lp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+                lp_t = jnp.take_along_axis(
+                    lp, tgt[:, None], axis=1)[:, 0]
+                return (pool_k, pool_v, lens + 1), \
+                    jnp.where(v, lp_t, 0.0)
+
+            (pool_k, pool_v, lens), lps = jax.lax.scan(
+                body, (pool_k, pool_v, lens),
+                (toks.T, targets.T, valid.T))
+            return pool_k, pool_v, lps           # lps [C, B]
+
+        self._score_chunk = jax.jit(score_chunk, donate_argnums=(0, 1))
+
         if spec:
             from resnet_accel_tpu.models.lm import (adjust_logits,
                                                     spec_accept_sampled)
@@ -364,6 +391,79 @@ class PagedKVBatcher(_IterationScheduler):
                 f"{self.pool_pages - 1} allocatable — it could never "
                 "be admitted")
         return self._enqueue(prompt, n_new, seed, eos)
+
+    def score(self, seqs: Sequence[Sequence[int]]) -> List[np.ndarray]:
+        """Teacher-forced per-token log-probs through the paged path.
+
+        For each sequence, feeds tokens[:-1] as forced inputs through
+        the engine's exact device program — paged KV scatter/gather,
+        ``kv_dtype`` quantization, chunked dispatch — and returns the
+        fp32 log-prob of tokens[1:] (length S-1; empty for S < 2).
+        This is the perplexity / bits-per-byte endpoint measured ON the
+        serving arithmetic: with ``kv_dtype='int8'``, later positions
+        attend over quantized pages exactly as decode does.
+
+        Requires an idle engine (no queued or active requests); KV
+        pages are taken from and returned to the engine pool.
+        """
+        if self._active or self._queue:
+            raise RuntimeError("score() requires an idle engine")
+        results: List[Optional[np.ndarray]] = [None] * len(seqs)
+        pending = [(i, list(map(int, s))) for i, s in enumerate(seqs)]
+        for i, s in pending:
+            if len(s) > self.max_len:
+                raise ValueError(
+                    f"sequence {i} has {len(s)} tokens; the engine "
+                    f"tables cap at {self.max_len}")
+        pending = [(i, s) for i, s in pending if len(s) >= 2] or []
+        for i, s in enumerate(seqs):
+            if len(list(s)) < 2:
+                results[i] = np.zeros(0, np.float32)
+        while pending:
+            batch = pending[:self.slots]
+            pending = pending[len(batch):]
+            tables_np = np.zeros((self.slots, self._table_pages),
+                                 np.int32)
+            allocs: List[List[int]] = []
+            for s_i, (_, seq) in enumerate(batch):
+                need = -(-(len(seq) - 1) // self.page)
+                if need > len(self._free) + len(self._cache):
+                    raise RuntimeError(
+                        f"scoring needs {need} free KV pages, have "
+                        f"{len(self._free)}")
+                pages = self._alloc_pages(need)
+                allocs.append(pages)
+                tables_np[s_i, :need] = pages
+            longest = max(len(seq) - 1 for _, seq in batch)
+            B, C = self.slots, self.chunk
+            lens = jnp.zeros(B, jnp.int32)
+            tables = jnp.asarray(tables_np)
+            acc = [[] for _ in batch]
+            for off in range(0, longest, C):
+                toks = np.zeros((B, C), np.int32)
+                tgts = np.zeros((B, C), np.int32)
+                valid = np.zeros((B, C), bool)
+                for s_i, (_, seq) in enumerate(batch):
+                    n = max(min(len(seq) - 1 - off, C), 0)
+                    if n:
+                        toks[s_i, :n] = seq[off:off + n]
+                        tgts[s_i, :n] = seq[off + 1:off + 1 + n]
+                        valid[s_i, :n] = True
+                self._pool_k, self._pool_v, lps = self._score_chunk(
+                    self._pool_k, self._pool_v, tables, lens,
+                    jnp.asarray(toks), jnp.asarray(tgts),
+                    jnp.asarray(valid))
+                lens = lens + C
+                lps_np = np.asarray(lps)             # [C, B]
+                for s_i in range(len(batch)):
+                    acc[s_i].append(lps_np[:, s_i])
+                self.steps += 1
+                self.micro_steps += C
+            for s_i, (idx, seq) in enumerate(batch):
+                results[idx] = np.concatenate(acc[s_i])[:len(seq) - 1] \
+                    .astype(np.float32)
+                self._free.extend(allocs[s_i])
+        return [r for r in results]
 
     def _pages_needed(self, req: _Request) -> int:
         return -(-(len(req.prompt) + req.n_new + self._overhang)

@@ -357,3 +357,57 @@ class TestInt8KV:
         model, scales = lm
         with pytest.raises(ValueError, match="kv_dtype"):
             PagedKVBatcher(model, scales, kv_dtype="fp8")
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced scoring through the paged path (the perplexity endpoint)
+# ---------------------------------------------------------------------------
+
+def _golden_logprobs(model, scales, seq):
+    import jax
+    import jax.numpy as jnp
+    logits = model.forward(jnp.asarray(seq, jnp.int32), scales)
+    lp = np.asarray(jax.nn.log_softmax(
+        logits.astype(jnp.float32), axis=-1))
+    return lp[np.arange(len(seq) - 1), np.asarray(seq[1:])]
+
+
+def test_score_matches_teacher_forced_forward(lm):
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=16)
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, 61, n).tolist() for n in (17, 9, 30, 3, 2)]
+    out = b.score(seqs)
+    for seq, lp in zip(seqs, out):
+        want = _golden_logprobs(model, scales, seq)
+        assert lp.shape == (len(seq) - 1,)
+        np.testing.assert_allclose(lp, want, rtol=2e-4, atol=2e-4)
+    # pool fully returned, engine reusable
+    assert len(b._free) == b.pool_pages - 1
+    rid = b.submit(seqs[0][:6], n_new=4)
+    assert b.run()[rid] == _expected(model, scales, seqs[0][:6], 4)
+
+
+def test_score_short_and_empty_sequences(lm):
+    model, scales = lm
+    b = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=12)
+    out = b.score([[5], [], [3, 4, 5]])
+    assert out[0].shape == (0,) and out[1].shape == (0,)
+    assert out[2].shape == (2,)
+
+
+def test_score_int8_kv_close_but_lossy(lm):
+    """int8-KV scoring runs the quantized gather path: log-probs stay
+    close to fp32 (quality) but the pool is 4x smaller; exactness is
+    NOT expected."""
+    model, scales = lm
+    rng = np.random.default_rng(11)
+    seqs = [rng.integers(0, 61, 33).tolist() for _ in range(3)]
+    fp = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=16)
+    q8 = PagedKVBatcher(model, scales, slots=2, page=8, pool_pages=16,
+                        kv_dtype="int8")
+    lp_fp = fp.score(seqs)
+    lp_q8 = q8.score(seqs)
+    for a, c in zip(lp_fp, lp_q8):
+        # mean absolute log-prob shift stays small on this model
+        assert np.abs(a - c).mean() < 0.05
