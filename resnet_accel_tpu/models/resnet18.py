@@ -607,6 +607,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  stem_s2d: bool = True,
                  stem_wh: Optional[bool] = None,
                  stem_nm: Optional[bool] = None,
+                 stem_fused: Optional[bool] = None,
                  pm_trunk: Optional[bool] = None,
                  conv_routes: Optional[Dict[str, str]] = None,
                  residual_barrier: bool = False):
@@ -674,6 +675,16 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     use_wh = (use_s2d and stem_wh
               and not any(qc.bsr is not None
                           for _, qc in model.named_convs()))
+    # Fused stem complex (ops/stem_fused.py): quantize + s2d + 4x4 conv
+    # + 3x3/s2 maxpool + requant in ONE Pallas pass — the pre-pool
+    # activation never touches HBM and the batch-minor GEMMs run all
+    # 128 MXU lanes where XLA's emitter caps at C_out=64.  Bit-exact
+    # (tests/test_stem_fused.py + on-chip check).  Auto-enables on the
+    # TPU backend at the throughput geometry (batch % 128, relu stem).
+    if stem_fused is None:
+        stem_fused = on_tpu
+    use_fused = (use_s2d and stem_fused and model.stem.relu
+                 and not model.small_input)
     interp = backend_mod.interpret_mode(backend)
 
     def run_stem_s2d(params, qc: QConv, x, mode: str):
@@ -794,6 +805,20 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
         s2d_ok = use_s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+        fused = (use_fused and x.dtype != jnp.int8
+                 and x.shape[0] > 0 and x.shape[0] % 128 == 0
+                 and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0
+                 and (conv_routes or {}).get("stem") != "bf16")
+        if fused:
+            with jax.named_scope("stem.fused"):
+                from resnet_accel_tpu.ops.stem_fused import \
+                    stem_conv_pool_nm
+                w = stem_s2d_weights(params["stem.w"],
+                                     model.stem.in_channels, 7)
+                a = stem_conv_pool_nm(
+                    x, w, params["stem.b"], params["stem.f"],
+                    model.s_input, interpret=interp)
+            return _trunk(params, a)
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
         nm = (use_nm and s2d_ok and x.dtype != jnp.int8
               and (interp or (x.shape[0] > 0 and x.shape[0] % 128 == 0)))
@@ -809,6 +834,10 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         if not model.small_input:
             with jax.named_scope("stem.pool"):
                 a = maxpool2d_int8(a, 3, 2, padding=1)
+        return _trunk(params, a, wh)
+
+    def _trunk(params: Dict[str, jnp.ndarray], a: jnp.ndarray,
+               wh: bool = False):
         planes = None  # (even, odd) pm planes while inside a pm run
         for i, blk in enumerate(model.blocks):
             pm_ok = (use_pm and _pm_block_ok(blk)

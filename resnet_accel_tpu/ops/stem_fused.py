@@ -1,0 +1,273 @@
+"""One-pass fused ImageNet stem: quantize + s2d + 4x4 conv + 3x3/s2
+maxpool + requant, entirely in VMEM.
+
+The stem complex is the measured throughput ceiling of the INT8
+ResNet forward (docs/ARCHITECTURE.md: nm staging 246 us + 4x4 conv
+373 us at 27% MXU util + pool 102 us at batch 128 — XLA's conv
+emitter caps C_out=64 at half the MXU lanes and the 205 MB pre-pool
+int32/int8 activation round-trips through HBM).  This kernel keeps
+the pre-pool activation in VMEM and reformulates the conv so the MXU
+runs near-full:
+
+- Batch-minor GEMMs: lanes = (output column q, batch n) so every dot
+  is [64|128, 128] @ [128, W/4*128] with ALL 128 lanes live.
+- W-parity staging: the s2d image's columns are staged as (E, O)
+  parity planes in two ring buffers (ringA for even output columns,
+  ringB holding (O[j], E[j+1]) for odd ones), so every kw tap becomes
+  a LANE-BLOCK-shifted window of one staged matrix — no im2col.
+- kh rides the K dimension: a conv row's window is 4 consecutive ring
+  slots = one contiguous 128-sublane dot operand (the ring is
+  mirrored 2x so mod-RING windows never wrap; verified bit-exact on
+  chip, tools/stem_ring_probe.py).
+- The 3x3/s2 maxpool and the requantize COMMUTE (relu + positive
+  per-channel factor is monotone in the int32 accumulator, the
+  fused_stem.py identity), so pooling runs in int32 on conv rows as
+  they are produced — one carried colmax row per step — and only the
+  POOLED [N,64,56,56] tensor is requantized and written to HBM.
+
+HBM traffic: read the fp32 input once (77 MB at batch 128), write the
+pooled int8 output once (26 MB) — nothing else.  Output layout is the
+batch-minor {0,1,3,2} activation layout XLA's conv emitter wants next
+(the quantize_s2d_nm contract), so no relayout copies appear around
+the custom call.
+
+Bit-exactness contract (tested, tests/test_stem_fused.py):
+    quantize_s2d_nm(x, s) -> conv2d_int8(kernel=4, stride=1,
+    padding=((2,1),(2,1)), relu=True) -> maxpool2d_int8(3, 2, pad=1)
+per the reference semantics: golden requantize
+(/root/reference/hw/sim/cpp/src/golden_models.cpp:378-410), 7x7/s2
+stem + 3x3/s2 pool geometry (resnet_inference.cpp stem stage).
+
+Mosaic constraints shaping the code (probed on chip, round 4):
+out-of-range BlockSpec index maps crash the device (never rely on
+clamping); int8 vector max does not legalize (pool in int32);
+value-level strided slices lower to unsupported gathers (stride the
+REF reads); sublane->lane merge reshapes are legal on values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RING = 6                      # live s2d rows per step = 5, +1 slack
+NEG = -(2 ** 30)   # pool pad: never wins, +bias can't wrap (py int:
+                   # a module-level jnp scalar would be a captured
+                   # constant, which pallas kernels reject)
+
+
+def pack_stem_weights(w2d, dtype=jnp.int8):
+    """[64, 192] s2d stem weight (K order (c,rp,cp) x kh x kw, the
+    ops.conv.stem_s2d_weights contract) -> four [64, 128] dot matrices.
+
+    K layout per matrix: sublane 32*i + ch is s2d row (h-2+i), channel
+    ch, E-half; 32*i + 16 + ch the O-half — matching the ring staging.
+      W_le/W_he: even output columns, lo window (kw 0/1), hi (kw 2/3).
+      W_lo/W_ho: odd columns via ringB's (O[j], E[j+1]) interleave:
+                 lo = (kw0 on O, kw1 on E), hi = (kw2 on O, kw3 on E).
+    """
+    w4 = jnp.asarray(w2d).reshape(-1, 12, 4, 4)
+    O = w4.shape[0]
+    z = jnp.zeros((O, 4, 4), w4.dtype)    # 4 pad channels per half
+
+    def half(kw):                          # [O, 4kh, 16]
+        return jnp.concatenate([w4[:, :, :, kw].transpose(0, 2, 1),
+                                z], axis=2)
+
+    def mat(kw_a, kw_b):                   # A on rows 0-15, B on 16-31
+        m = jnp.concatenate([half(kw_a), half(kw_b)], axis=2)
+        return m.reshape(O, 128).astype(dtype)
+
+    return (mat(0, 1), mat(2, 3),          # even: (E,O) x (lo,hi)
+            mat(0, 1), mat(2, 3))          # odd: (O,E+1) x (lo,hi)
+
+
+def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
+            out_ref, ring_a, ring_b, carry, *, nq: int, pooled: int,
+            scale: float):
+    """Grid (batch_slabs, pooled+1).  Step g stages s2d rows 2g-1 and
+    2g, then (g >= 1) computes conv rows 2p, 2p+1 (p = g-1), folds the
+    int32 colmax pool with the carried row, and writes pooled row p."""
+    g = pl.program_id(1)
+    lanes = nq * 128
+
+    @pl.when(g == 0)
+    def _init():
+        ring_a[...] = jnp.zeros_like(ring_a)
+        ring_b[...] = jnp.zeros_like(ring_b)
+
+    # ---- stage s2d rows r = 2g-1, 2g (image rows 4g-2 .. 4g+1, which
+    # are padded rows 4g .. 4g+3 = this step's input block) ------------
+    for li, r_off in ((0, -1), (1, 0)):
+        planes_e, planes_o = [], []
+        for c in range(3):
+            for rp in range(2):
+                for cp in range(2):
+                    # s2d col u = image col 2u + cp: E (u even) is
+                    # image cols cp::4, O (u odd) is cp+2::4
+                    xe = x_ref[c, 0, 2 * li + rp, cp::4, :]
+                    xo = x_ref[c, 0, 2 * li + rp, cp + 2::4, :]
+                    qe = jnp.clip(jnp.rint(xe / jnp.float32(scale)),
+                                  -128, 127).astype(jnp.int8)
+                    qo = jnp.clip(jnp.rint(xo / jnp.float32(scale)),
+                                  -128, 127).astype(jnp.int8)
+                    planes_e.append(qe)
+                    planes_o.append(qo)
+        e = jnp.stack(planes_e).reshape(12, lanes)
+        o = jnp.stack(planes_o).reshape(12, lanes)
+        slot = jax.lax.rem(2 * g + r_off + 12, RING)
+
+        def put(s):
+            # ringA block j+2 = (E[j], O[j])
+            ring_a[pl.ds(s * 32, 12), 256:256 + lanes] = e
+            ring_a[pl.ds(s * 32 + 16, 12), 256:256 + lanes] = o
+            # ringB: O[j] at block j+2, E[j] at block j+1
+            ring_b[pl.ds(s * 32, 12), 256:256 + lanes] = o
+            ring_b[pl.ds(s * 32 + 16, 12), 128:128 + lanes] = e
+
+        put(slot)
+        # Partial mirror: a 4-group window starting at slot <= RING-1
+        # reaches at most slot 8, so only slots 0-2 need the +RING
+        # copy — (RING+3) groups instead of 2*RING saves 1.4 MB VMEM
+        # (the first compile OOM'd the 16 MB scoped limit by 28 KB).
+
+        @pl.when(slot < 3)
+        def _mirror():
+            put(slot + RING)
+
+    # ---- conv rows + pool fold ---------------------------------------
+    @pl.when(g >= 1)
+    def _compute():
+        @pl.when(g == 1)
+        def _first():
+            carry[...] = jnp.full_like(carry, NEG)  # conv row -1 = pad
+
+        def colmax_of(h):
+            """Conv row h as (even, odd-extended) dots, folded to the
+            3-tap column max of the pool, int32 [64, nq*128]."""
+            first = jax.lax.rem(h - 2 + 2 * RING, RING)
+            off_a = first * 32
+            acc_e = jax.lax.dot_general(
+                wle_ref[:], ring_a[pl.ds(off_a, 128), 128:128 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_e += jax.lax.dot_general(
+                whe_ref[:], ring_a[pl.ds(off_a, 128), 256:256 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            # odd columns, extended one block left (t = 0 is the
+            # phantom column -1, masked below)
+            acc_o = jax.lax.dot_general(
+                wlo_ref[:], ring_b[pl.ds(off_a, 128), 0:128 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_o += jax.lax.dot_general(
+                who_ref[:], ring_b[pl.ds(off_a, 128),
+                                   128:256 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t = jax.lax.broadcasted_iota(
+                jnp.int32, (64, 128 + lanes), 1)
+            acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
+            return jnp.maximum(
+                jnp.maximum(acc_o[:, 0:lanes], acc_e),
+                acc_o[:, 128:128 + lanes])
+
+        cm0 = colmax_of(2 * g - 2)        # conv row 2p
+        cm1 = colmax_of(2 * g - 1)        # conv row 2p+1
+        pooled_acc = jnp.maximum(jnp.maximum(carry[...], cm0), cm1)
+        carry[...] = cm1
+
+        acc = pooled_acc + b_ref[:, 0:1]
+        acc = jnp.maximum(acc, 0)
+        q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
+                               * f_ref[:, 0:1]),
+                      -128, 127).astype(jnp.int8)
+        for qb in range(nq):
+            out_ref[0, qb, :, :] = q8[:, qb * 128:(qb + 1) * 128]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret"))
+def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
+                      bias: jnp.ndarray, factors: jnp.ndarray,
+                      scale: float,
+                      interpret: bool = False) -> jnp.ndarray:
+    """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
+    stem complex in one HBM pass (see module docstring).
+
+    ``w2d``: [64, 192] s2d stem weight (stem_s2d_weights output),
+    ``bias``: int32 [64], ``factors``: fp32 [64] requant factors,
+    ``scale``: input quantization scale.  Requires N % 128 == 0 and
+    H % 4 == W % 4 == 0 (the throughput geometry); callers fall back
+    to the unfused path otherwise (models.resnet18.make_forward).
+
+    In interpret mode (CPU) the identical arithmetic runs as the
+    reference composition — the kernel is TPU-layout-specific.
+    """
+    N, C, H, W = x.shape
+    if C != 3 or N == 0 or N % 128 or H % 4 or W % 4:
+        raise ValueError(f"unsupported stem geometry N={N} C={C} "
+                         f"H={H} W={W}")
+    if interpret:
+        from resnet_accel_tpu.ops.conv import conv2d_int8
+        from resnet_accel_tpu.ops.pooling import maxpool2d_int8
+        from resnet_accel_tpu.ops.stem_pack import quantize_s2d_nm
+        s = quantize_s2d_nm(x, scale, interpret=True)
+        a = conv2d_int8(s, w2d, bias=bias, kernel=4, stride=1,
+                        padding=((2, 1), (2, 1)), factors=factors,
+                        relu=True, use_pallas=False, backend="cpu")
+        return maxpool2d_int8(a, 3, 2, padding=1)
+
+    pooled, nq = H // 4, W // 4
+    slabs = N // 128
+    # batch-minor view + 2-row zero pad top/bottom (conv rows -2/-1 and
+    # the bottom halo quantize from literal zeros = the conv's zero pad)
+    xt = x.transpose(1, 2, 3, 0)
+    xt = jnp.pad(xt, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    xt = xt.reshape(3, pooled + 1, 4, W, N)
+
+    wle, whe, wlo, who = pack_stem_weights(w2d)
+    b2 = jnp.asarray(bias, jnp.int32).reshape(64, 1)
+    f2 = jnp.asarray(factors, jnp.float32).reshape(64, 1)
+
+    kern = functools.partial(_kernel, nq=nq, pooled=pooled,
+                             scale=float(scale))
+    lanes_ring = (nq + 2) * 128
+    out = pl.pallas_call(
+        kern,
+        grid=(slabs, pooled + 1),
+        in_specs=[
+            pl.BlockSpec((3, 1, 4, W, 128),
+                         lambda b, g: (0, g, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nq, 64, 128),
+            lambda b, g: (jnp.maximum(g - 1, 0), 0, 0, b),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM((64, nq * 128), jnp.int32),
+        ],
+    )(xt, wle, whe, wlo, who, b2, f2)
+    return out.transpose(3, 2, 0, 1)      # NCHW view, batch-minor phys

@@ -1,6 +1,6 @@
-"""Measured per-layer ResNet-18 profile on the real chip.
+"""Measured per-layer ResNet-family profile on the real chip.
 
-    python tools/profile_tpu.py [batch]
+    python tools/profile_tpu.py [batch] [depth]
 
 Prints the runtime.xprof measured layer table (true per-HLO device
 times attributed to named_scope layers) next to the analytic roofline
@@ -21,11 +21,15 @@ from resnet_accel_tpu.runtime.profile import (  # noqa: E402
     profile_resnet18, profile_table)
 
 
-def main(batch: int = 64) -> None:
+def main(batch: int = 64, depth: int = 18) -> None:
+    from resnet_accel_tpu.models.resnet import (init_resnet_fp32,
+                                                quantize_resnet)
     rng = np.random.default_rng(0)
-    params_fp32 = r18.init_resnet18_fp32(seed=0, small_input=False)
+    params_fp32 = init_resnet_fp32(depth=depth, seed=0,
+                                   small_input=False)
     calib = rng.normal(0, 1, (8, 3, 224, 224)).astype(np.float32)
-    model = r18.quantize_resnet18(params_fp32, calib, small_input=False)
+    model = quantize_resnet(params_fp32, calib, depth=depth,
+                            small_input=False)
     params = model.as_device_params()
     fwd = r18.make_forward(model)
     x = jnp.asarray(rng.normal(0, 1, (batch, 3, 224, 224)),
@@ -43,4 +47,5 @@ def main(batch: int = 64) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 18)

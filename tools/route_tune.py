@@ -15,7 +15,7 @@ forward first):
   combos of the winners
 
 Prints the measured per-layer totals (xprof device trace) per variant.
-Run: python tools/route_tune.py [batch]
+Run: python tools/route_tune.py [batch] [only-variants] [depth]
 """
 
 import os
@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(batch: int = 128) -> None:
+def main(batch: int = 128, depth: int = 18) -> None:
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -37,14 +37,26 @@ def main(batch: int = 128) -> None:
     from resnet_accel_tpu.models import resnet18 as r18
     from resnet_accel_tpu.runtime import xprof
 
+    from resnet_accel_tpu.models.resnet import (init_resnet_fp32,
+                                                quantize_resnet)
     rng = np.random.default_rng(0)
-    params_fp32 = r18.init_resnet18_fp32(seed=0, small_input=False)
+    params_fp32 = init_resnet_fp32(depth=depth, seed=0,
+                                   small_input=False)
     calib = rng.normal(0, 1, (8, 3, 224, 224)).astype(np.float32)
-    model = r18.quantize_resnet18(params_fp32, calib, small_input=False)
+    model = quantize_resnet(params_fp32, calib, depth=depth,
+                            small_input=False)
     params = model.as_device_params()
     x = jnp.asarray(rng.normal(0, 1, (batch, 3, 224, 224)), jnp.float32)
 
-    L1 = ["b0.c1", "b0.c2", "b1.c1", "b1.c2"]
+    # first-stage (64-channel) conv prefixes, any depth/block type
+    from resnet_accel_tpu.models.resnet18 import QBottleneck
+    L1 = []
+    for i, blk in enumerate(model.blocks):
+        if blk.conv2.in_channels > 64:    # past the 64-ch stage
+            break
+        L1 += [f"b{i}.c1", f"b{i}.c2"]
+        if isinstance(blk, QBottleneck):
+            L1.append(f"b{i}.c3")
     all_variants = [
         ("base", {}),
         ("barrier", {"residual_barrier": True}),
@@ -87,4 +99,5 @@ def main(batch: int = 128) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 18)

@@ -27,7 +27,6 @@ bit-identical to generate():
     weight-bandwidth-bound, 153->122 passes for 256 tokens).
 """
 
-import glob
 import os
 import sys
 import time
@@ -44,11 +43,6 @@ def main():
         ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    import jax.numpy as jnp
-    import optax
-    from resnet_accel_tpu.train.lm import (init_lm_fp32, lm_forward_fp32,
-                                           quantize_lm)
-
     MAX_LEN = 1024
     PROMPT, N_NEW = 640, 256
     DRAFT = int(os.environ.get("SPEC_DRAFT", "7"))
@@ -60,53 +54,13 @@ def main():
     # distribution, so the subject must actually model the text: a
     # random-weighted LM measured 0.94x (125 verify passes for 256
     # tokens — its argmax stream ignores corpus patterns, so
-    # prompt-lookup drafts rarely land).  Train briefly on-chip first.
-    parts = []
-    for g in ("/root/reference/**/*.md", "/root/reference/**/*.py"):
-        for p in sorted(glob.glob(g, recursive=True))[:40]:
-            with open(p, "rb") as f:
-                parts.append(f.read())
-    corpus = np.frombuffer(b"\n".join(parts), np.uint8).astype(np.int32)
+    # prompt-lookup drafts rarely land).  Train briefly on-chip first
+    # (tools/lm_corpus.py, the shared corpus-LM builder).
+    from tools.lm_corpus import corpus_bytes, train_corpus_lm
+    corpus = corpus_bytes()
     prompts = [corpus[o:o + PROMPT] for o in
                (11_000, 60_000, 130_000, 200_000)]
-
-    D, H, L, SEQ, STEPS, BATCH = 512, 8, 4, 128, 1500, 32
-    params = init_lm_fp32(vocab=256, d_model=D, n_heads=H, d_ff=2 * D,
-                          n_layers=L, max_len=MAX_LEN, seed=0)
-    train_keys = [k for k in params if k not in ("meta", "pos")]
-    pj = {k: jnp.asarray(v) for k, v in params.items() if k != "meta"}
-    opt = optax.adam(3e-3)
-
-    def loss_fn(tp, toks):
-        full = dict(pj)
-        full.update(tp)
-        logits = jax.vmap(
-            lambda t: lm_forward_fp32(full, t, L, H))(toks)
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits[:, :-1], toks[:, 1:]).mean()
-
-    @jax.jit
-    def step(tp, state, toks):
-        loss, g = jax.value_and_grad(loss_fn)(tp, toks)
-        upd, state = opt.update(g, state)
-        return optax.apply_updates(tp, upd), state, loss
-
-    tp = {k: pj[k] for k in train_keys}
-    state = opt.init(tp)
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    for s in range(STEPS):
-        starts = rng.integers(0, len(corpus) - SEQ - 1, BATCH)
-        toks = jnp.asarray(np.stack(
-            [corpus[o:o + SEQ] for o in starts]))
-        tp, state, loss = step(tp, state, toks)
-    print(f"trained {STEPS} steps on {len(corpus)} corpus bytes "
-          f"({time.time() - t0:.0f}s, final loss {float(loss):.3f})",
-          flush=True)
-    for k in train_keys:
-        params[k] = np.asarray(tp[k])
-    model = quantize_lm(params, H, block=8)
-    scales = model.calibrate(corpus[:MAX_LEN])
+    model, scales, _ = train_corpus_lm(corpus, max_len=MAX_LEN)
 
     def timed(fn, *args, **kw):
         out = fn(*args, **kw)          # compile + warm

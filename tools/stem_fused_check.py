@@ -1,0 +1,58 @@
+"""On-chip bit-exactness check for the fused stem kernel.
+
+Compares ops.stem_fused.stem_conv_pool_nm against the shipping
+composition (quantize_s2d_nm -> conv2d_int8 4x4 -> maxpool2d_int8) on
+the real TPU, element-exact, at a small geometry and the ImageNet one.
+The hermetic algebra tests live in tests/test_stem_fused.py; this
+validates the Mosaic lowering itself.
+
+Run: python tools/stem_fused_check.py   (tunneled TPU)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def check(H, W, N=128, seed=0):
+    import jax.numpy as jnp
+    from resnet_accel_tpu.ops.conv import conv2d_int8, stem_s2d_weights
+    from resnet_accel_tpu.ops.epilogue import requant_factors
+    from resnet_accel_tpu.ops.pooling import maxpool2d_int8
+    from resnet_accel_tpu.ops.stem_fused import stem_conv_pool_nm
+    from resnet_accel_tpu.ops.stem_pack import quantize_s2d_nm
+    from resnet_accel_tpu.quant import (bias_to_int32,
+                                        quantize_symmetric_per_channel)
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (N, 3, H, W)).astype(np.float32)
+    w = rng.normal(0, 0.05, (64, 3, 7, 7)).astype(np.float32)
+    wq, ws = quantize_symmetric_per_channel(w, axis=0)
+    w2d = stem_s2d_weights(jnp.asarray(wq.reshape(64, -1)), 3, 7)
+    scale = float(np.abs(x).max() / 127.0)
+    b = bias_to_int32(rng.normal(0, 0.5, 64).astype(np.float32),
+                      scale, ws)
+    f = requant_factors(scale, ws, 0.05)
+    s = quantize_s2d_nm(jnp.asarray(x), scale)
+    a = conv2d_int8(s, w2d, bias=jnp.asarray(b), kernel=4, stride=1,
+                    padding=((2, 1), (2, 1)), factors=jnp.asarray(f),
+                    relu=True)
+    want = np.asarray(maxpool2d_int8(a, 3, 2, padding=1))
+    got = np.asarray(stem_conv_pool_nm(
+        jnp.asarray(x), w2d, jnp.asarray(b), jnp.asarray(f), scale))
+    match = float((got == want).mean())
+    print(f"H={H} W={W} N={N}: match {match:.6f}", flush=True)
+    if match < 1.0:
+        bad = np.argwhere(got != want)
+        print("first mismatches:", bad[:8].tolist())
+    return match == 1.0
+
+
+if __name__ == "__main__":
+    ok = check(32, 32)
+    ok = ok and check(224, 224)
+    ok = ok and check(224, 224, N=256, seed=1)
+    print("ALL-EXACT" if ok else "MISMATCH")
+    sys.exit(0 if ok else 1)
