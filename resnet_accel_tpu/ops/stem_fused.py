@@ -17,8 +17,10 @@ runs near-full:
   a LANE-BLOCK-shifted window of one staged matrix — no im2col.
 - kh rides the K dimension: a conv row's window is 4 consecutive ring
   slots = one contiguous 128-sublane dot operand (the ring is
-  mirrored 2x so mod-RING windows never wrap; verified bit-exact on
-  chip, tools/stem_ring_probe.py).
+  partially mirrored so mod-RING windows never wrap; verified
+  bit-exact on chip, tools/stem_ring_probe.py).  The compute lags the
+  staging by two grid steps, so a step's MXU dots never touch the
+  ring groups its VPU is writing — scheduler-overlappable.
 - The 3x3/s2 maxpool and the requantize COMMUTE (relu + positive
   per-channel factor is monotone in the int32 accumulator, the
   fused_stem.py identity), so pooling runs in int32 on conv rows as
@@ -55,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RING = 6                      # live s2d rows per step = 5, +1 slack
+RING = 7                      # lag-2 pipeline: rows 2g-6..2g live per step
 NEG = -(2 ** 30)   # pool pad: never wins, +bias can't wrap (py int:
                    # a module-level jnp scalar would be a captured
                    # constant, which pallas kernels reject)
@@ -90,9 +92,11 @@ def pack_stem_weights(w2d, dtype=jnp.int8):
 def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             out_ref, ring_a, ring_b, carry, *, nq: int, pooled: int,
             scale: float):
-    """Grid (batch_slabs, pooled+1).  Step g stages s2d rows 2g-1 and
-    2g, then (g >= 1) computes conv rows 2p, 2p+1 (p = g-1), folds the
-    int32 colmax pool with the carried row, and writes pooled row p."""
+    """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
+    2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
+    2p+1, int32 colmax pool fold, pooled row p) so the dots only read
+    ring groups staged in EARLIER steps — the staging VPU work and the
+    MXU dots of a step are data-disjoint and can overlap."""
     g = pl.program_id(1)
     lanes = nq * 128
 
@@ -102,48 +106,52 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
         ring_b[...] = jnp.zeros_like(ring_b)
 
     # ---- stage s2d rows r = 2g-1, 2g (image rows 4g-2 .. 4g+1, which
-    # are padded rows 4g .. 4g+3 = this step's input block) ------------
-    for li, r_off in ((0, -1), (1, 0)):
-        planes_e, planes_o = [], []
-        for c in range(3):
-            for rp in range(2):
-                for cp in range(2):
-                    # s2d col u = image col 2u + cp: E (u even) is
-                    # image cols cp::4, O (u odd) is cp+2::4
-                    xe = x_ref[c, 0, 2 * li + rp, cp::4, :]
-                    xo = x_ref[c, 0, 2 * li + rp, cp + 2::4, :]
-                    qe = jnp.clip(jnp.rint(xe / jnp.float32(scale)),
-                                  -128, 127).astype(jnp.int8)
-                    qo = jnp.clip(jnp.rint(xo / jnp.float32(scale)),
-                                  -128, 127).astype(jnp.int8)
-                    planes_e.append(qe)
-                    planes_o.append(qo)
-        e = jnp.stack(planes_e).reshape(12, lanes)
-        o = jnp.stack(planes_o).reshape(12, lanes)
-        slot = jax.lax.rem(2 * g + r_off + 12, RING)
+    # are padded rows 4g .. 4g+3 = this step's input block; the final
+    # lag step has nothing new to stage) --------------------------------
+    def _stage_body():
+      for li, r_off in ((0, -1), (1, 0)):
+          planes_e, planes_o = [], []
+          for c in range(3):
+              for rp in range(2):
+                  for cp in range(2):
+                      # s2d col u = image col 2u + cp: E (u even) is
+                      # image cols cp::4, O (u odd) is cp+2::4
+                      xe = x_ref[c, 0, 2 * li + rp, cp::4, :]
+                      xo = x_ref[c, 0, 2 * li + rp, cp + 2::4, :]
+                      qe = jnp.clip(jnp.rint(xe / jnp.float32(scale)),
+                                    -128, 127).astype(jnp.int8)
+                      qo = jnp.clip(jnp.rint(xo / jnp.float32(scale)),
+                                    -128, 127).astype(jnp.int8)
+                      planes_e.append(qe)
+                      planes_o.append(qo)
+          e = jnp.stack(planes_e).reshape(12, lanes)
+          o = jnp.stack(planes_o).reshape(12, lanes)
+          slot = jax.lax.rem(2 * g + r_off + 2 * RING, RING)
 
-        def put(s):
-            # ringA block j+2 = (E[j], O[j])
-            ring_a[pl.ds(s * 32, 12), 256:256 + lanes] = e
-            ring_a[pl.ds(s * 32 + 16, 12), 256:256 + lanes] = o
-            # ringB: O[j] at block j+2, E[j] at block j+1
-            ring_b[pl.ds(s * 32, 12), 256:256 + lanes] = o
-            ring_b[pl.ds(s * 32 + 16, 12), 128:128 + lanes] = e
+          def put(s):
+              # ringA block j+2 = (E[j], O[j])
+              ring_a[pl.ds(s * 32, 12), 256:256 + lanes] = e
+              ring_a[pl.ds(s * 32 + 16, 12), 256:256 + lanes] = o
+              # ringB: O[j] at block j+2, E[j] at block j+1
+              ring_b[pl.ds(s * 32, 12), 256:256 + lanes] = o
+              ring_b[pl.ds(s * 32 + 16, 12), 128:128 + lanes] = e
 
-        put(slot)
-        # Partial mirror: a 4-group window starting at slot <= RING-1
-        # reaches at most slot 8, so only slots 0-2 need the +RING
-        # copy — (RING+3) groups instead of 2*RING saves 1.4 MB VMEM
-        # (the first compile OOM'd the 16 MB scoped limit by 28 KB).
+          put(slot)
+          # Partial mirror: a 4-group window starting at slot <=
+          # RING-1 reaches at most slot RING+2, so only slots 0-2 need
+          # the +RING copy — (RING+3) groups instead of 2*RING keeps
+          # the kernel inside the 16 MB scoped-VMEM limit.
 
-        @pl.when(slot < 3)
-        def _mirror():
-            put(slot + RING)
+          @pl.when(slot < 3)
+          def _mirror():
+              put(slot + RING)
+
+    pl.when(g <= pooled)(_stage_body)
 
     # ---- conv rows + pool fold ---------------------------------------
-    @pl.when(g >= 1)
+    @pl.when(g >= 2)
     def _compute():
-        @pl.when(g == 1)
+        @pl.when(g == 2)
         def _first():
             carry[...] = jnp.full_like(carry, NEG)  # conv row -1 = pad
 
@@ -178,8 +186,8 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
                 jnp.maximum(acc_o[:, 0:lanes], acc_e),
                 acc_o[:, 128:128 + lanes])
 
-        cm0 = colmax_of(2 * g - 2)        # conv row 2p
-        cm1 = colmax_of(2 * g - 1)        # conv row 2p+1
+        cm0 = colmax_of(2 * g - 4)        # conv row 2p
+        cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
         pooled_acc = jnp.maximum(jnp.maximum(carry[...], cm0), cm1)
         carry[...] = cm1
 
@@ -236,15 +244,17 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     b2 = jnp.asarray(bias, jnp.int32).reshape(64, 1)
     f2 = jnp.asarray(factors, jnp.float32).reshape(64, 1)
 
+    nq_rows = pooled               # input groups 0..pooled
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
                              scale=float(scale))
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,
-        grid=(slabs, pooled + 1),
+        grid=(slabs, pooled + 2),
         in_specs=[
             pl.BlockSpec((3, 1, 4, W, 128),
-                         lambda b, g: (0, g, 0, 0, b),
+                         lambda b, g: (0, jnp.minimum(g, nq_rows), 0,
+                                       0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 128), lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -261,7 +271,7 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(
             (1, nq, 64, 128),
-            lambda b, g: (jnp.maximum(g - 1, 0), 0, 0, b),
+            lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
         scratch_shapes=[

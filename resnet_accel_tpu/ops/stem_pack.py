@@ -179,15 +179,16 @@ def quantize_s2d_nm(x: jnp.ndarray, scale: float,
     tap-transposed trunk — downstream convs take untransposed taps, so
     the route composes with BSR-sparse layers too.
 
-    The kernel's per-plane stores only legalize at full 128 lanes, so
-    for N not a multiple of 128 (and N=0 edge) this falls back to the
-    reference composition — bit-identical, just not single-pass; the
-    throughput path (batch 128) always takes the kernel.
+    The kernel's per-plane stores only legalize at EXACTLY 128 lanes
+    (Mosaic: "last dim size is not 128 in original base memref" for any
+    other width), so for N != 128 this falls back to the reference
+    composition — bit-identical, just not single-pass; the throughput
+    path (batch 128) always takes the kernel.
     """
     N, C, H, W = x.shape
     if H % 2 or W % 2:
         raise ValueError(f"H, W must be even for 2x2 s2d, got {H}x{W}")
-    if not interpret and (N == 0 or N % 128):
+    if not interpret and N != 128:
         return quantize_s2d_nchw(x, scale)
     xt = x.transpose(1, 2, 3, 0).reshape(C, H // 2, 2, W, N)
     ht = _pick_ht(H, C, W, N)

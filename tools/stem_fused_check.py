@@ -35,6 +35,8 @@ def check(H, W, N=128, seed=0):
     b = bias_to_int32(rng.normal(0, 0.5, 64).astype(np.float32),
                       scale, ws)
     f = requant_factors(scale, ws, 0.05)
+    # N=128 exercises the nm golden kernel; other batch widths use the
+    # composition (the nm kernel only legalizes at exactly 128 lanes)
     s = quantize_s2d_nm(jnp.asarray(x), scale)
     a = conv2d_int8(s, w2d, bias=jnp.asarray(b), kernel=4, stride=1,
                     padding=((2, 1), (2, 1)), factors=jnp.asarray(f),
