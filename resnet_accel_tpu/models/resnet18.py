@@ -37,6 +37,7 @@ import numpy as np
 from resnet_accel_tpu import golden
 from resnet_accel_tpu.ops import (
     add_residual,
+    exact_inv_out_scale,
     avgpool_global_int8,
     conv2d_int8,
     matmul_int8,
@@ -666,6 +667,14 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     # at batch 128 while keeping the trunk UNTRANSPOSED — so it also
     # composes with BSR-sparse layers.  ``stem_nm=None`` auto-enables
     # on the TPU backend unless WH was explicitly requested.
+    # Residual-join requant: use the verified-reciprocal multiply where
+    # the exhaustive per-block proof holds (ops/epilogue.py) — the f32
+    # divide is the most expensive VPU op in the fused conv+add
+    # epilogues (the residual joins run ~2x their bandwidth floor with
+    # it; measured, docs/ARCHITECTURE.md).
+    inv_of = [exact_inv_out_scale(b.s_main, b.s_res, b.s_out)
+              for b in model.blocks]
+
     on_tpu = backend_mod.resolve_backend(backend) == "tpu"
     if stem_nm is None:
         stem_nm = on_tpu and stem_wh is not True
@@ -740,6 +749,33 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         if wh and qc.kernel > 1:
             w2d = transpose_taps(w2d, qc.in_channels, qc.kernel)
         route = (conv_routes or {}).get(prefix, "native")
+        if route in ("nhwcb", "nativeb"):
+            # Barrier-forced variants: opt barriers pin the layout hand-
+            # off so XLA can't canonicalize the route back into the
+            # surrounding program (plain per-layer "nhwc" compiles to
+            # the bit-identical program — measured, tools/route_tune.py)
+            # and can't fuse the conv with its neighbours.  Probes for
+            # the deep-conv layout anomaly (3x3 512ch @ 7x7 runs 4x
+            # slower inside -50 than the identical shape inside -18).
+            if route == "nhwcb":
+                w_hwio = w2d.reshape(-1, qc.in_channels, qc.kernel,
+                                     qc.kernel).transpose(2, 3, 1, 0)
+                xt = jax.lax.optimization_barrier(
+                    x.transpose(0, 2, 3, 1))
+                y = conv2d_int8_nhwc(
+                    xt, w_hwio, bias=params[f"{prefix}.b"],
+                    stride=qc.stride, padding=qc.padding,
+                    factors=params[f"{prefix}.f"], relu=qc.relu)
+                return jax.lax.optimization_barrier(y).transpose(
+                    0, 3, 1, 2)
+            xb = jax.lax.optimization_barrier(x)
+            y = conv2d_int8(
+                xb, w2d, bias=params[f"{prefix}.b"],
+                kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
+                factors=params[f"{prefix}.f"], relu=qc.relu,
+                use_pallas=use_pallas, backend=backend,
+                method=conv_method)
+            return jax.lax.optimization_barrier(y)
         if route == "nhwc":
             w_hwio = w2d.reshape(-1, qc.in_channels,
                                  qc.kernel, qc.kernel).transpose(2, 3, 1, 0)
@@ -749,7 +785,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                 padding=qc.padding, factors=params[f"{prefix}.f"],
                 relu=qc.relu)
             return y.transpose(0, 3, 1, 2)
-        method = "bf16" if route == "bf16" else conv_method
+        method = (route if route in ("bf16", "im2col")
+                  else conv_method)
         return conv2d_int8(
             x, w2d, bias=params[f"{prefix}.b"],
             kernel=qc.kernel, stride=qc.stride, padding=qc.padding,
@@ -869,7 +906,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                     # (measured +100 us on the 64-ch convs at batch 128).
                     y, r = jax.lax.optimization_barrier((y, r))
                 a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
-                                 relu=True)
+                                 relu=True, inv_out_scale=inv_of[i])
         with jax.named_scope("avgpool"):
             a = avgpool_global_int8(a)
         with jax.named_scope("fc"):
@@ -883,6 +920,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
 def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
                        backend: Optional[str], stem_s2d: bool = False):
     """Channel-minor pipeline: one transpose at entry, none after."""
+    inv_of = [exact_inv_out_scale(b.s_main, b.s_res, b.s_out)
+              for b in model.blocks]
 
     def run_conv(params, prefix, qc: QConv, x):
         with jax.named_scope(prefix):
@@ -924,7 +963,7 @@ def _make_forward_nhwc(model: ResNet18Int8, use_pallas: bool,
                 if blk.downsample is not None else a
             with jax.named_scope(f"b{i}.add"):
                 a = add_residual(y, r, blk.s_main, blk.s_res, blk.s_out,
-                                 relu=True)
+                                 relu=True, inv_out_scale=inv_of[i])
         with jax.named_scope("avgpool"):
             a = avgpool_global_int8_nhwc(a)
         with jax.named_scope("fc"):

@@ -9,6 +9,7 @@ from resnet_accel_tpu.ops.epilogue import (
     requantize_q16,
     requant_factors,
     add_residual,
+    exact_inv_out_scale,
     relu_int8,
     relu6_int8,
     quantize_input,
@@ -27,6 +28,7 @@ __all__ = [
     "requantize_q16",
     "requant_factors",
     "add_residual",
+    "exact_inv_out_scale",
     "relu_int8",
     "relu6_int8",
     "quantize_input",

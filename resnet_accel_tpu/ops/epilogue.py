@@ -88,6 +88,37 @@ def requantize_q16(
     return jnp.clip(scaled, -128, 127).astype(jnp.int8)
 
 
+def exact_inv_out_scale(
+    main_scale: float, residual_scale: float, out_scale: float
+) -> Optional[float]:
+    """Verified reciprocal for the residual-add requant divide.
+
+    The golden semantics divide: ``q = rint(sum / out_scale)``
+    (reference ``golden_models.cpp:465-495`` uses
+    ``nearbyint(sum / out_scale)``).  f32 division is the single most
+    expensive VPU op in the fused conv+add epilogue — measured ~1/3 of
+    the whole residual-join cost at batch 128 (docs/ARCHITECTURE.md).
+
+    A multiply by the f32 reciprocal is NOT exact in general, but here
+    the inputs are int8 and the scales are static, so ``sum`` ranges
+    over at most 256x256 reachable f32 values — small enough to check
+    the divide and the multiply against each other EXHAUSTIVELY.  This
+    returns ``float(1/out_scale)`` iff every reachable (main, residual)
+    pair requantizes identically under both (post-saturation), else
+    None.  Bit-exactness stays verified, never assumed: callers use the
+    multiply only on a proof for their exact scale triple, and the
+    numpy golden keeps dividing (it is the spec).
+    """
+    y = np.arange(-128, 128, dtype=np.float32)
+    m = y * np.float32(main_scale)
+    r = y * np.float32(residual_scale)
+    s = m[:, None] + r[None, :]
+    inv = np.float32(1.0) / np.float32(out_scale)
+    qd = np.clip(np.rint(s / np.float32(out_scale)), -128, 127)
+    qm = np.clip(np.rint(s * inv), -128, 127)
+    return float(inv) if np.array_equal(qd, qm) else None
+
+
 def add_residual(
     main: jnp.ndarray,
     residual: jnp.ndarray,
@@ -95,6 +126,7 @@ def add_residual(
     residual_scale: float,
     out_scale: float,
     relu: bool = False,
+    inv_out_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """ResNet skip add across scales (golden add_residual_int8).
 
@@ -102,11 +134,20 @@ def add_residual(
     round-half-even + saturation.  Optional fused ReLU *after* the add
     (the post-residual ReLU of a ResNet block) applied in int8 domain —
     equivalent to clamping at 0 before saturation.
+
+    ``inv_out_scale``: pass ``exact_inv_out_scale(...)``'s result to
+    requantize by multiply instead of divide — only valid with a proof
+    for this exact scale triple (bit-identical by exhaustive check over
+    every reachable int8 pair; None or a failed proof keeps the golden
+    divide).
     """
     m = main.astype(jnp.float32) * jnp.float32(main_scale)
     r = residual.astype(jnp.float32) * jnp.float32(residual_scale)
     s = m + r
-    q = jnp.rint(s / jnp.float32(out_scale))
+    if inv_out_scale is not None:
+        q = jnp.rint(s * jnp.float32(inv_out_scale))
+    else:
+        q = jnp.rint(s / jnp.float32(out_scale))
     q = jnp.clip(q, -128, 127)
     if relu:
         q = jnp.maximum(q, 0)

@@ -70,6 +70,66 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("stembf16+barrier", {"conv_routes": {"stem": "bf16"},
                               "residual_barrier": True}),
     ]
+    # Bottleneck-family extras: every 1x1 conv whose C_in <= 1024 has an
+    # exact bf16 reformulation (ops/conv.py range analysis), and the -50
+    # profile puts its worst MFU exactly there (c3 expansions / ds).
+    if any(isinstance(b, QBottleneck) for b in model.blocks):
+        def ok(qc):
+            return qc.in_channels * qc.kernel * qc.kernel <= 1024
+        c3 = [f"b{i}.c3" for i, b in enumerate(model.blocks)
+              if isinstance(b, QBottleneck) and ok(b.conv3)]
+        ds = [f"b{i}.ds" for i, b in enumerate(model.blocks)
+              if b.downsample is not None and ok(b.downsample)]
+        c1 = [f"b{i}.c1" for i, b in enumerate(model.blocks)
+              if isinstance(b, QBottleneck) and ok(b.conv1)]
+        for name, keys in [("c3bf16", c3), ("dsbf16", ds),
+                           ("c1bf16", c1),
+                           ("c3+dsbf16", c3 + ds),
+                           ("allbf16", c3 + ds + c1 + L1)]:
+            all_variants.append(
+                (name, {"conv_routes": {k: "bf16" for k in keys}}))
+        all_variants.append(
+            ("c3nhwc", {"conv_routes": {k: "nhwc" for k in c3}}))
+        # Stage-level NHWC: route EVERY conv of the deepest stage(s)
+        # channel-minor so the interior transposes cancel and only the
+        # stage boundary pays one relayout — aimed at the measured
+        # b13-15.c2 anomaly (3x3 512ch @ 7x7 runs 400 us in the -50
+        # program vs 92 us for the identical shape inside -18).
+        def stage_keys(min_c):
+            ks = []
+            for i, b in enumerate(model.blocks):
+                if b.conv2.in_channels < min_c:
+                    continue
+                ks += [f"b{i}.c1", f"b{i}.c2", f"b{i}.c3"]
+                if b.downsample is not None:
+                    ks.append(f"b{i}.ds")
+            return ks
+        all_variants += [
+            ("s4nhwc", {"conv_routes":
+                        {k: "nhwc" for k in stage_keys(512)}}),
+            ("s34nhwc", {"conv_routes":
+                         {k: "nhwc" for k in stage_keys(256)}}),
+            ("deepc2im2col", {"conv_routes": {
+                f"b{i}.c2": "im2col"
+                for i, b in enumerate(model.blocks)
+                if b.conv2.in_channels >= 512}}),
+            ("deepc2nhwc", {"conv_routes": {
+                f"b{i}.c2": "nhwc"
+                for i, b in enumerate(model.blocks)
+                if b.conv2.in_channels >= 512}}),
+            ("deepc2nhwcb", {"conv_routes": {
+                f"b{i}.c2": "nhwcb"
+                for i, b in enumerate(model.blocks)
+                if b.conv2.in_channels >= 512}}),
+            ("deepc2b", {"conv_routes": {
+                f"b{i}.c2": "nativeb"
+                for i, b in enumerate(model.blocks)
+                if b.conv2.in_channels >= 512}}),
+            ("s3c2nhwcb", {"conv_routes": {
+                f"b{i}.c2": "nhwcb"
+                for i, b in enumerate(model.blocks)
+                if b.conv2.in_channels >= 256}}),
+        ]
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     variants = [(n, kw) for n, kw in all_variants
                 if only is None or n in only or n == "base"]
