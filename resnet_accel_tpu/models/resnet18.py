@@ -38,6 +38,7 @@ from resnet_accel_tpu import golden
 from resnet_accel_tpu.ops import (
     add_residual,
     exact_inv_out_scale,
+    expand_add_int8,
     avgpool_global_int8,
     conv2d_int8,
     matmul_int8,
@@ -611,7 +612,8 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  stem_fused: Optional[bool] = None,
                  pm_trunk: Optional[bool] = None,
                  conv_routes: Optional[Dict[str, str]] = None,
-                 residual_barrier: bool = False):
+                 residual_barrier: bool = False,
+                 expand_fused: Optional[bool] = None):
     """Build the jit-able batched INT8 forward: fp32 NCHW -> fp32 logits.
 
     ``layout`` picks the internal activation layout; both are bit-exact
@@ -628,7 +630,15 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     layers' transposes cancel under XLA).  All routes are bit-exact; the
     default None means measured per-layer defaults (tools/route_tune.py).
     ``residual_barrier`` puts an optimization barrier between each block's
-    convs and its residual add, keeping the add out of the conv fusion."""
+    convs and its residual add, keeping the add out of the conv fusion.
+
+    ``expand_fused`` routes each bottleneck's c3 expansion AND its
+    residual join through the one-pass Pallas kernel
+    (ops/expand_fused.py) — XLA's own conv+add fusion runs at ~2x its
+    bandwidth floor there (measured, -50 batch 128).  None auto-enables
+    on the TPU backend at the throughput geometry (batch % 128, dense
+    c3, stride 1); per-layer opt-out via ``conv_routes[f"b{i}.c3"] =
+    "native"``.  Bit-exact (tests/test_expand_fused.py)."""
     if (layout == "NHWC" and conv_method == "native"
             and not any(qc.bsr is not None
                         for _, qc in model.named_convs())
@@ -694,6 +704,17 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         stem_fused = on_tpu
     use_fused = (use_s2d and stem_fused and model.stem.relu
                  and not model.small_input)
+    # Measured OFF by default: the fused kernel is element-exact on chip
+    # but the residual-join epilogue is VPU-throughput-bound (~2.2-2.5
+    # f32 Tops/s effective, measured three independent ways), so XLA's
+    # own conv+add fusion already sits near the achievable floor — and a
+    # mid-trunk custom call additionally forces relayout copies on its
+    # operands (consumer-driven layout assignment).  In-model at batch
+    # 128: 7948 -> 11500 us.  Kept as the measured verdict + the
+    # bit-exact capability (tools/expand_fused_check.py).
+    if expand_fused is None:
+        expand_fused = False
+    use_expand = expand_fused
     interp = backend_mod.interpret_mode(backend)
 
     def run_stem_s2d(params, qc: QConv, x, mode: str):
@@ -895,6 +916,18 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                 planes = None  # `a` already holds the NCHW view
             y = run_conv(params, f"b{i}.c1", blk.conv1, a, wh)
             y = run_conv(params, f"b{i}.c2", blk.conv2, y, wh)
+            if (isinstance(blk, QBottleneck) and use_expand
+                    and blk.conv3.bsr is None and blk.conv3.stride == 1
+                    and a.shape[0] % 128 == 0
+                    and (conv_routes or {}).get(f"b{i}.c3") != "native"):
+                r = run_conv(params, f"b{i}.ds", blk.downsample, a, wh) \
+                    if blk.downsample is not None else a
+                with jax.named_scope(f"b{i}.c3"):
+                    a = expand_add_int8(
+                        y, params[f"b{i}.c3.w"], params[f"b{i}.c3.b"],
+                        params[f"b{i}.c3.f"], r, blk.s_main, blk.s_res,
+                        blk.s_out, inv_out=inv_of[i], interpret=interp)
+                continue
             if isinstance(blk, QBottleneck):
                 y = run_conv(params, f"b{i}.c3", blk.conv3, y, wh)
             r = run_conv(params, f"b{i}.ds", blk.downsample, a, wh) \

@@ -3,6 +3,7 @@
 from resnet_accel_tpu.ops.matmul_int8 import matmul_int8, matmul_int8_xla
 from resnet_accel_tpu.ops.conv import conv2d_int8, im2col_nchw
 from resnet_accel_tpu.ops.flash_attention import flash_attention
+from resnet_accel_tpu.ops.expand_fused import expand_add_int8
 from resnet_accel_tpu.ops.pooling import maxpool2d_int8, avgpool_global_int8
 from resnet_accel_tpu.ops.epilogue import (
     requantize,
@@ -29,6 +30,7 @@ __all__ = [
     "requant_factors",
     "add_residual",
     "exact_inv_out_scale",
+    "expand_add_int8",
     "relu_int8",
     "relu6_int8",
     "quantize_input",
