@@ -70,6 +70,11 @@ class PagedKVBatcher(_IterationScheduler):
             pages.  NOT a memory commitment — memory is pool_pages.
         chunk: micro-steps per device dispatch.
         temperature/top_k: engine-level sampling (0 = greedy).
+        tp_mesh: optional jax.sharding.Mesh with a 'tp' axis — shard
+            THIS engine over it (per-rank KV page pools sliced by
+            head, one int32 psum per output projection; see
+            runtime.paged_tp).  Token-exact vs the single-device
+            engine; the host scheduler is identical.
     """
 
     def __init__(self, model, scales, slots: int = 4, page: int = 16,
@@ -77,7 +82,8 @@ class PagedKVBatcher(_IterationScheduler):
                  chunk: int = 8, temperature: float = 0.0,
                  top_k: Optional[int] = None, reserve: str = "full",
                  prefix_cache: bool = False, kv_dtype: str = "fp32",
-                 spec_draft: int = 0, spec_ngram: int = 3):
+                 spec_draft: int = 0, spec_ngram: int = 3,
+                 tp_mesh=None):
         if slots < 1:
             raise ValueError("slots must be >= 1")
         if chunk < 1:
@@ -133,9 +139,29 @@ class PagedKVBatcher(_IterationScheduler):
         self.kv_dtype = kv_dtype
         kv_int8 = kv_dtype == "int8"
 
+        # Tensor-parallel serving (tp_mesh set): the host scheduler below
+        # is untouched; only the KV pool placement and the three jitted
+        # device programs are swapped for shard_map programs over the
+        # mesh's 'tp' axis — per-rank KV page pools sliced by head, one
+        # int32 psum per wo/w2 projection (runtime.paged_tp).
+        self.tp_mesh = tp_mesh
+        tp_progs = None
+        if tp_mesh is not None:
+            from resnet_accel_tpu.runtime.paged_tp import \
+                build_tp_paged_programs
+            tp_progs = build_tp_paged_programs(
+                model, scales, tp_mesh, page=self.page,
+                table_pages=self._table_pages,
+                pool_pages=self.pool_pages, kv_dtype=kv_dtype,
+                temperature=self.temperature, top_k=self.top_k,
+                spec_draft=self.spec_draft)
+
         L = len(model.blocks)
         D = model.blocks[0].d_model
-        if kv_int8:
+        if tp_mesh is not None:
+            self._pool_k = tp_progs["make_pool"]()
+            self._pool_v = tp_progs["make_pool"]()
+        elif kv_int8:
             # Quantized KV pages: int8 values + one fp32 scale per
             # (layer, page, position) — per-token symmetric rowwise
             # quantization at write time, dequantized AFTER the gather
@@ -367,6 +393,13 @@ class PagedKVBatcher(_IterationScheduler):
                 return pool_k, pool_v, lens, keys, emit, n_cons
 
             self._spec_step = jax.jit(spec_step, donate_argnums=(0, 1))
+
+        if tp_progs is not None:
+            # Same signatures, same semantics, sharded over 'tp'.
+            self._chunk_step = tp_progs["chunk_step"]
+            self._score_chunk = tp_progs["score_chunk"]
+            if spec:
+                self._spec_step = tp_progs["spec_step"]
 
         self._queue: List[_Request] = []
         self._active: Dict[int, _Request] = {}

@@ -59,7 +59,12 @@ BATCH = 128
 CALIB_N = 512
 PERCENTILE = 99.9   # activation-calibration clip (reference discipline)
 EPOCHS_QAT = 2
-QAT_LR = 5e-4
+# Fine-tune LR: Adam's effective per-step magnitude is ~lr regardless of
+# gradient scale, so 124 steps at 5e-4 moves converged conv weights
+# (|w| ~ 0.05) off their optimum — measured −4.85% on fold 1 before this
+# was lowered.  5e-5 keeps the fine-tune a perturbation of the trained
+# trunk, which is what QAT is (adapt to the grid, don't retrain).
+QAT_LR = 5e-5
 
 
 def load_all(seed: int = 0):
@@ -253,13 +258,20 @@ def run_fold(fold, x, y, n_val, t0, qat=True):
         model_q = quantize_resnet18(
             flat_q, xtr[:CALIB_N], num_classes=10, small_input=True,
             calib_batch_size=128, calib_percentile=PERCENTILE)
+        # Diagnostic: the QAT'd trunk's own fp32 accuracy separates
+        # "fine-tune damaged the model" from "export/PTQ mismatch".
+        from resnet_accel_tpu.train.resnet18 import split_params
+        qp, qbn = split_params(flat_q)
+        p_fq = preds_fp32(qp, qbn, xva)
+        r["fp32_of_qat"] = float((p_fq == yva).mean())
         p_i8q = preds_int8(model_q, xva)
         r["int8_of_pruned_qat"] = float((p_i8q == yva).mean())
         d, h, n01, n10 = paired_delta(p_pruned, p_i8q, yva)
         r["pruned_qat_paired"] = {"delta": d, "ci95": h, "n01": n01,
                                   "n10": n10}
         print(f"[fold {fold}] int8(pruned@90% QAT): "
-              f"{r['int8_of_pruned_qat']:.4f} paired delta vs fp32 "
+              f"{r['int8_of_pruned_qat']:.4f} (fp32 trunk after QAT "
+              f"{r['fp32_of_qat']:.4f}) paired delta vs pruned fp32 "
               f"{d:+.4f} +-{h:.4f} ({time.time() - t0:.0f}s)",
               flush=True)
     else:
