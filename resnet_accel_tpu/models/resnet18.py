@@ -629,6 +629,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     "nhwc" (channel-minor conv with local transposes — consecutive nhwc
     layers' transposes cancel under XLA).  All routes are bit-exact; the
     default None means measured per-layer defaults (tools/route_tune.py).
+    ``{"stem": "fused-stacked"}`` routes the fused stem kernel through
+    its row-stacked M=128 dots (ops/stem_fused.py ``stacked``;
+    pending on-chip A/B vs the round-4 M=64 default).
     ``residual_barrier`` puts an optimization barrier between each block's
     convs and its residual add, keeping the add out of the conv fusion.
 
@@ -875,7 +878,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                                      model.stem.in_channels, 7)
                 a = stem_conv_pool_nm(
                     x, w, params["stem.b"], params["stem.f"],
-                    model.s_input, interpret=interp)
+                    model.s_input, interpret=interp,
+                    stacked=(conv_routes or {}).get("stem")
+                    == "fused-stacked")
             return _trunk(params, a)
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
         nm = (use_nm and s2d_ok and x.dtype != jnp.int8

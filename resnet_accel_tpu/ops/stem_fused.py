@@ -89,9 +89,28 @@ def pack_stem_weights(w2d, dtype=jnp.int8):
             mat(0, 1), mat(2, 3))          # odd: (O,E+1) x (lo,hi)
 
 
+def pack_stem_weights_stacked(w2d, dtype=jnp.int8):
+    """Row-stacked dot matrices: both conv rows of a grid step in ONE
+    [128, 160] operand so the dot fills all 128 MXU rows (the M=64
+    half-occupancy was the measured cap of the round-4 kernel,
+    docs/ARCHITECTURE.md).
+
+    Conv row 2p+1's 4-slot tap window is row 2p's shifted one ring
+    slot (32 sublanes), so against a FIVE-slot staged window
+    [off, off+160) the stacked weight is block-shift-diagonal:
+    channels 0-63 (row 2p) carry the taps at sublanes 0-127, channels
+    64-127 (row 2p+1) the same taps at sublanes 32-159.
+    """
+    mats = pack_stem_weights(w2d, dtype)
+    z = jnp.zeros((64, 32), dtype)
+    return tuple(jnp.concatenate(
+        [jnp.concatenate([m, z], axis=1),
+         jnp.concatenate([z, m], axis=1)], axis=0) for m in mats)
+
+
 def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             out_ref, ring_a, ring_b, carry, *, nq: int, pooled: int,
-            scale: float):
+            scale: float, stacked: bool):
     """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
     2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
     2p+1, int32 colmax pool fold, pooled row p) so the dots only read
@@ -137,12 +156,13 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
               ring_b[pl.ds(s * 32 + 16, 12), 128:128 + lanes] = e
 
           put(slot)
-          # Partial mirror: a 4-group window starting at slot <=
-          # RING-1 reaches at most slot RING+2, so only slots 0-2 need
-          # the +RING copy — (RING+3) groups instead of 2*RING keeps
-          # the kernel inside the 16 MB scoped-VMEM limit.
+          # Partial mirror: a 4-group window (5 stacked) starting at
+          # slot <= RING-1 reaches at most slot RING+2 (RING+3), so
+          # only slots 0-2 (0-3) need the +RING copy — (RING+3)/(RING+4)
+          # groups instead of 2*RING keeps the kernel inside the 16 MB
+          # scoped-VMEM limit.
 
-          @pl.when(slot < 3)
+          @pl.when(slot < (4 if stacked else 3))
           def _mirror():
               put(slot + RING)
 
@@ -186,8 +206,38 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
                 jnp.maximum(acc_o[:, 0:lanes], acc_e),
                 acc_o[:, 128:128 + lanes])
 
-        cm0 = colmax_of(2 * g - 4)        # conv row 2p
-        cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
+        if stacked:
+            # Both conv rows in ONE M=128 dot per (parity, kw-half):
+            # channels 0-63 = row 2p (taps at sublanes 0-127 of the
+            # 5-slot window), 64-127 = row 2p+1 (taps at 32-159).
+            first = jax.lax.rem(2 * g - 6 + 2 * RING, RING)
+            off = first * 32
+            acc_e = jax.lax.dot_general(
+                wle_ref[:], ring_a[pl.ds(off, 160), 128:128 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_e += jax.lax.dot_general(
+                whe_ref[:], ring_a[pl.ds(off, 160), 256:256 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_o = jax.lax.dot_general(
+                wlo_ref[:], ring_b[pl.ds(off, 160), 0:128 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_o += jax.lax.dot_general(
+                who_ref[:], ring_b[pl.ds(off, 160), 128:256 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t = jax.lax.broadcasted_iota(
+                jnp.int32, (128, 128 + lanes), 1)
+            acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
+            cm = jnp.maximum(
+                jnp.maximum(acc_o[:, 0:lanes], acc_e),
+                acc_o[:, 128:128 + lanes])    # [128, lanes]
+            cm0, cm1 = cm[0:64], cm[64:128]
+        else:
+            cm0 = colmax_of(2 * g - 4)        # conv row 2p
+            cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
         pooled_acc = jnp.maximum(jnp.maximum(carry[...], cm0), cm1)
         carry[...] = cm1
 
@@ -201,11 +251,14 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "interpret"))
+                   static_argnames=("scale", "interpret", "stacked",
+                                    "kernel_interpret"))
 def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       bias: jnp.ndarray, factors: jnp.ndarray,
                       scale: float,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      stacked: bool = True,
+                      kernel_interpret: bool = False) -> jnp.ndarray:
     """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
     stem complex in one HBM pass (see module docstring).
 
@@ -215,8 +268,16 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     H % 4 == W % 4 == 0 (the throughput geometry); callers fall back
     to the unfused path otherwise (models.resnet18.make_forward).
 
+    ``stacked=True`` (the round-5 default) computes both conv rows of
+    a step in one M=128 dot per (parity, kw-half) against a 5-slot
+    staged window — all 128 MXU rows live, vs the round-4 M=64
+    formulation (``stacked=False``, kept for A/B measurement).
+
     In interpret mode (CPU) the identical arithmetic runs as the
     reference composition — the kernel is TPU-layout-specific.
+    ``kernel_interpret=True`` instead runs the PALLAS KERNEL ITSELF
+    under the interpreter (hermetic lowering-structure check; slow,
+    test-only).
     """
     N, C, H, W = x.shape
     if C != 3 or N == 0 or N % 128 or H % 4 or W % 4:
@@ -240,13 +301,18 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     xt = jnp.pad(xt, ((0, 0), (2, 2), (0, 0), (0, 0)))
     xt = xt.reshape(3, pooled + 1, 4, W, N)
 
-    wle, whe, wlo, who = pack_stem_weights(w2d)
+    if stacked:
+        wle, whe, wlo, who = pack_stem_weights_stacked(w2d)
+        wdim, ext = (128, 160), 4
+    else:
+        wle, whe, wlo, who = pack_stem_weights(w2d)
+        wdim, ext = (64, 128), 3
     b2 = jnp.asarray(bias, jnp.int32).reshape(64, 1)
     f2 = jnp.asarray(factors, jnp.float32).reshape(64, 1)
 
     nq_rows = pooled               # input groups 0..pooled
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
-                             scale=float(scale))
+                             scale=float(scale), stacked=stacked)
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,
@@ -256,13 +322,13 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                          lambda b, g: (0, jnp.minimum(g, nq_rows), 0,
                                        0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+            pl.BlockSpec(wdim, lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+            pl.BlockSpec(wdim, lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+            pl.BlockSpec(wdim, lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+            pl.BlockSpec(wdim, lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 1), lambda b, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -275,9 +341,10 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
-            pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
             pltpu.VMEM((64, nq * 128), jnp.int32),
         ],
+        interpret=kernel_interpret,
     )(xt, wle, whe, wlo, who, b2, f2)
     return out.transpose(3, 2, 0, 1)      # NCHW view, batch-minor phys

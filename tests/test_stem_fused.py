@@ -136,6 +136,38 @@ def test_pack_stem_weights_layout():
                 m[:, 32 * kh + 12:32 * kh + 16], 0)
 
 
+def test_stacked_pack_is_block_shift_diagonal():
+    """pack_stem_weights_stacked: channels 0-63 carry the taps at
+    sublanes 0-127, channels 64-127 the SAME taps shifted one ring
+    slot (32 sublanes) — the M=128 stacked-rows operand."""
+    from resnet_accel_tpu.ops.stem_fused import pack_stem_weights_stacked
+    w2d = (np.arange(64 * 192, dtype=np.int32).reshape(64, 192)
+           % 127).astype(np.int8)
+    flat = [np.asarray(m) for m in pack_stem_weights(w2d)]
+    for m2, m in zip(pack_stem_weights_stacked(w2d), flat):
+        m2 = np.asarray(m2)
+        assert m2.shape == (128, 160)
+        np.testing.assert_array_equal(m2[:64, :128], m)
+        np.testing.assert_array_equal(m2[:64, 128:], 0)
+        np.testing.assert_array_equal(m2[64:, 32:], m)
+        np.testing.assert_array_equal(m2[64:, :32], 0)
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+def test_pallas_kernel_interpret_matches_golden(stacked):
+    """The PALLAS KERNEL ITSELF (ring staging, partial mirror, lag-2
+    grid, stacked/unstacked dots) under the interpreter == the shipping
+    composition — so an on-chip mismatch can only be a Mosaic lowering
+    bug, never kernel structure."""
+    x, w2d, bias, factors, scale = _make_inputs(128, 16, 16, seed=5)
+    want = _golden_stem(x, w2d, bias, factors, scale)
+    got = np.asarray(stem_conv_pool_nm(
+        jnp.asarray(x), jnp.asarray(w2d), jnp.asarray(bias),
+        jnp.asarray(factors), scale, stacked=stacked,
+        kernel_interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_interpret_fallback_matches_golden():
     x, w2d, bias, factors, scale = _make_inputs(128, 16, 16, seed=3)
     want = _golden_stem(x, w2d, bias, factors, scale)

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def check(H, W, N=128, seed=0):
+def check(H, W, N=128, seed=0, stacked=False):
     import jax.numpy as jnp
     from resnet_accel_tpu.ops.conv import conv2d_int8, stem_s2d_weights
     from resnet_accel_tpu.ops.epilogue import requant_factors
@@ -43,18 +43,62 @@ def check(H, W, N=128, seed=0):
                     relu=True)
     want = np.asarray(maxpool2d_int8(a, 3, 2, padding=1))
     got = np.asarray(stem_conv_pool_nm(
-        jnp.asarray(x), w2d, jnp.asarray(b), jnp.asarray(f), scale))
+        jnp.asarray(x), w2d, jnp.asarray(b), jnp.asarray(f), scale,
+        stacked=stacked))
     match = float((got == want).mean())
-    print(f"H={H} W={W} N={N}: match {match:.6f}", flush=True)
+    print(f"H={H} W={W} N={N} stacked={stacked}: match {match:.6f}",
+          flush=True)
     if match < 1.0:
         bad = np.argwhere(got != want)
         print("first mismatches:", bad[:8].tolist())
     return match == 1.0
 
 
+def time_ab(N=128, H=224, W=224, reps=30, seed=0):
+    """Kernel-only A/B: median wall time of the M=64 vs the stacked
+    M=128 formulation at the ImageNet geometry (chained on one input;
+    dispatch included, identical for both)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from resnet_accel_tpu.ops.conv import stem_s2d_weights
+    from resnet_accel_tpu.ops.epilogue import requant_factors
+    from resnet_accel_tpu.ops.stem_fused import stem_conv_pool_nm
+    from resnet_accel_tpu.quant import (bias_to_int32,
+                                        quantize_symmetric_per_channel)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (N, 3, H, W)).astype(np.float32))
+    w = rng.normal(0, 0.05, (64, 3, 7, 7)).astype(np.float32)
+    wq, ws = quantize_symmetric_per_channel(w, axis=0)
+    w2d = stem_s2d_weights(jnp.asarray(wq.reshape(64, -1)), 3, 7)
+    scale = 3.0 / 127.0
+    b = jnp.asarray(bias_to_int32(
+        rng.normal(0, 0.5, 64).astype(np.float32), scale, ws))
+    f = jnp.asarray(requant_factors(scale, ws, 0.05))
+    for stacked in (False, True):
+        fn = jax.jit(lambda xx: stem_conv_pool_nm(
+            xx, w2d, b, f, scale, stacked=stacked))
+        jax.block_until_ready(fn(x))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            ts.append(time.perf_counter() - t0)
+        med = float(np.median(ts)) * 1e6
+        print(f"stacked={stacked}: median {med:.1f} us "
+              f"({N * 1e6 / med / 1e3:.1f}k img/s stem-complex only)",
+              flush=True)
+
+
 if __name__ == "__main__":
-    ok = check(32, 32)
-    ok = ok and check(224, 224)
-    ok = ok and check(224, 224, N=256, seed=1)
+    if len(sys.argv) > 1 and sys.argv[1] == "time":
+        time_ab()
+        sys.exit(0)
+    ok = True
+    for stk in (False, True):
+        ok = ok and check(32, 32, stacked=stk)
+        ok = ok and check(224, 224, stacked=stk)
+        ok = ok and check(224, 224, N=256, seed=1, stacked=stk)
     print("ALL-EXACT" if ok else "MISMATCH")
     sys.exit(0 if ok else 1)
