@@ -8,9 +8,12 @@ windows spanning page boundaries — on the corpus-trained serving-config
 LM (tools/lm_corpus.py) at 4 and 8 slots, greedy outputs asserted
 IDENTICAL to the non-speculative engine per slot.
 
-Run: python tools/paged_spec_bench.py   (tunneled TPU, ~10 min)
-Knobs: PSB_DRAFTS (default "0,7,15"), PSB_SLOTS ("4,8"),
-PSB_PROMPT (384), PSB_NEW (128).
+Run: python tools/paged_spec_bench.py   (tunneled TPU, ~15 min)
+Knobs: PSB_DRAFTS (default "0,7,15"), PSB_SLOTS ("1,4,8"),
+PSB_KV ("fp32,int8"), PSB_PROMPT (384), PSB_NEW (128),
+PSB_SAMPLED ("1": one sampled config at temp 0.8),
+PSB_PREFIX ("1": spec x prefix-cache composition on a shared
+system prompt).  Writes docs/paged_spec_bench.json.
 """
 import os
 import sys
@@ -33,52 +36,135 @@ def main():
     drafts = [int(d) for d in
               os.environ.get("PSB_DRAFTS", "0,7,15").split(",")]
     slot_counts = [int(s) for s in
-                   os.environ.get("PSB_SLOTS", "4,8").split(",")]
+                   os.environ.get("PSB_SLOTS", "1,4,8").split(",")]
+    kv_dtypes = os.environ.get("PSB_KV", "fp32,int8").split(",")
     PROMPT = int(os.environ.get("PSB_PROMPT", "384"))
     N_NEW = int(os.environ.get("PSB_NEW", "128"))
 
     corpus = corpus_bytes()
     model, scales, _ = train_corpus_lm(corpus, max_len=1024)
 
-    def run_engine(slots, draft, prompts):
+    def run_engine(slots, draft, prompts, seeds=None, **kw):
         need = -(-(PROMPT + N_NEW + max(draft, 0)) // 16)
-        b = PagedKVBatcher(model, scales, slots=slots, page=16,
-                           pool_pages=slots * need + 2, chunk=8,
-                           spec_draft=draft)
-        rids = [b.submit(p, N_NEW) for p in prompts]
-        b.run()                      # warm-up compiles
-        b2 = PagedKVBatcher(model, scales, slots=slots, page=16,
-                            pool_pages=slots * need + 2, chunk=8,
-                            spec_draft=draft)
-        rids = [b2.submit(p, N_NEW) for p in prompts]
-        t0 = time.perf_counter()
-        res = b2.run()
-        dt = time.perf_counter() - t0
-        toks = sum(len(res[r]) for r in rids)
-        return toks / dt, dt, [tuple(res[r]) for r in rids]
+        seeds = seeds or [0] * len(prompts)
+        out = None
+        for _ in range(2):           # first run absorbs compiles
+            b = PagedKVBatcher(model, scales, slots=slots, page=16,
+                               pool_pages=slots * need + 2, chunk=8,
+                               spec_draft=draft, **kw)
+            rids = [b.submit(p, N_NEW, seed=s)
+                    for p, s in zip(prompts, seeds)]
+            t0 = time.perf_counter()
+            res = b.run()
+            dt = time.perf_counter() - t0
+            out = (sum(len(res[r]) for r in rids), dt,
+                   [tuple(res[r]) for r in rids])
+        toks, dt, streams = out
+        return toks / dt, dt, streams
 
-    print(f"{'slots':>5} {'draft':>5} {'tok/s':>9} {'wall s':>7} "
-          f"{'vs draft=0':>10} {'identical':>9}")
-    results = {}
-    for slots in slot_counts:
+    print(f"{'kv':>5} {'slots':>5} {'draft':>5} {'tok/s':>9} "
+          f"{'wall s':>7} {'vs draft=0':>10} {'identical':>9}")
+    results = []
+    for kv in kv_dtypes:
+        for slots in slot_counts:
+            rng = np.random.default_rng(5)
+            offs = rng.integers(0, len(corpus) - PROMPT - 1, slots)
+            prompts = [corpus[o:o + PROMPT].tolist() for o in offs]
+            base_tps, base_out = None, None
+            for draft in drafts:
+                tps, dt, outs = run_engine(slots, draft, prompts,
+                                           kv_dtype=kv)
+                if draft == 0:
+                    base_tps, base_out = tps, outs
+                    rel, ident = 1.0, True
+                else:
+                    rel = tps / base_tps if base_tps else float("nan")
+                    ident = outs == base_out
+                results.append({"kv": kv, "slots": slots,
+                                "draft": draft, "tok_s": tps,
+                                "rel": rel, "identical": ident})
+                print(f"{kv:>5} {slots:5d} {draft:5d} {tps:9.1f} "
+                      f"{dt:7.2f} {rel:9.2f}x {str(ident):>9}",
+                      flush=True)
+                assert ident, (
+                    f"speculative outputs diverged at kv={kv} "
+                    f"slots={slots} draft={draft}")
+
+    sampled = None
+    if os.environ.get("PSB_SAMPLED", "1") == "1":
+        # Sampled speculation is distribution-exact, not stream-exact:
+        # report tok/s and the stream agreement vs the non-spec sampled
+        # engine (same per-request seeds).
+        slots, draft, temp = 4, 7, 0.8
         rng = np.random.default_rng(5)
         offs = rng.integers(0, len(corpus) - PROMPT - 1, slots)
         prompts = [corpus[o:o + PROMPT].tolist() for o in offs]
-        base_tps, base_out = None, None
-        for draft in drafts:
-            tps, dt, outs = run_engine(slots, draft, prompts)
-            if draft == 0:
-                base_tps, base_out = tps, outs
-                rel, ident = 1.0, True
-            else:
-                rel = tps / base_tps if base_tps else float("nan")
-                ident = outs == base_out
-            results[(slots, draft)] = (tps, rel, ident)
-            print(f"{slots:5d} {draft:5d} {tps:9.1f} {dt:7.2f} "
-                  f"{rel:9.2f}x {str(ident):>9}", flush=True)
-            assert ident, (
-                f"speculative outputs diverged at slots={slots} "
-                f"draft={draft}")
+        seeds = list(range(11, 11 + slots))
+        t0, _, s0 = run_engine(slots, 0, prompts, seeds=seeds,
+                               temperature=temp, top_k=50)
+        t1, _, s1 = run_engine(slots, draft, prompts, seeds=seeds,
+                               temperature=temp, top_k=50)
+        agree = float(np.mean([
+            np.mean([x == y for x, y in zip(a, b)])
+            for a, b in zip(s0, s1)]))
+        sampled = {"slots": slots, "draft": draft,
+                   "temperature": temp, "tok_s_base": t0,
+                   "tok_s_spec": t1, "rel": t1 / t0,
+                   "stream_agreement": agree}
+        print(f"sampled t={temp} slots={slots} draft={draft}: "
+              f"{t0:.1f} -> {t1:.1f} tok/s ({t1 / t0:.2f}x), "
+              f"stream agreement {agree:.3f} "
+              f"(distribution-exact, stream-divergent by design)",
+              flush=True)
+
+    prefix = None
+    if os.environ.get("PSB_PREFIX", "1") == "1":
+        # Spec x prefix cache: every request shares a system prompt;
+        # the cache removes prefill, speculation then accelerates the
+        # decode that remains.
+        slots, draft = 4, 7
+        sys_p = corpus[:PROMPT - 16].tolist()
+        prompts = [sys_p + corpus[1000 + 16 * i:1016 + 16 * i].tolist()
+                   for i in range(slots)]
+        row = {}
+        for name, kw in (("plain", {}),
+                         ("prefix", {"prefix_cache": True})):
+            need = -(-(PROMPT + N_NEW + draft) // 16)
+            b = PagedKVBatcher(model, scales, slots=slots, page=16,
+                               pool_pages=slots * need + 8, chunk=8,
+                               spec_draft=draft, **kw)
+            outs = {}
+            for rep in range(3):     # rep0 compiles, rep1 seeds cache
+                rids = [b.submit(p, N_NEW) for p in prompts]
+                t0 = time.perf_counter()
+                res = b.run()
+                dt = time.perf_counter() - t0
+                outs[rep] = ([tuple(res[r]) for r in rids], dt)
+            streams, dt = outs[2]
+            row[name] = {"tok_s": slots * N_NEW / dt,
+                         "streams": streams}
+        assert row["plain"]["streams"] == row["prefix"]["streams"], \
+            "prefix cache changed speculative outputs"
+        prefix = {"slots": slots, "draft": draft,
+                  "tok_s_plain": row["plain"]["tok_s"],
+                  "tok_s_prefix": row["prefix"]["tok_s"],
+                  "rel": row["prefix"]["tok_s"]
+                  / row["plain"]["tok_s"]}
+        print(f"spec x prefix-cache slots={slots} draft={draft}: "
+              f"{prefix['tok_s_plain']:.1f} -> "
+              f"{prefix['tok_s_prefix']:.1f} tok/s "
+              f"({prefix['rel']:.2f}x), outputs identical", flush=True)
+
+    import json
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "paged_spec_bench.json")
+    with open(out_path, "w") as fh:
+        json.dump({"prompt": PROMPT, "n_new": N_NEW,
+                   "model": "4L d512 h8 byte LM (serving config)",
+                   "grid": results, "sampled": sampled,
+                   "prefix": prefix}, fh, indent=1)
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
