@@ -433,6 +433,77 @@ def cmd_generate(args):
     return 0
 
 
+def cmd_serve(args):
+    """Continuous-batching serving demo on the paged-KV engine: admit
+    several requests into lockstep decode lanes over an oversubscribable
+    page pool, with every serving knob — sampling, prefix caching, int8
+    KV pages, speculative decoding, tensor parallelism — on the command
+    line.  Prints each request's stream and the engine counters.
+
+    Role analogue: the reference's host driver loop
+    (/root/reference/sw/host/accel.py run-inference path), generalized
+    to multi-request LM serving.
+    """
+    import time as _time
+
+    from resnet_accel_tpu.models.lm import TransformerLMInt8
+    from resnet_accel_tpu.runtime.paged import PagedKVBatcher
+
+    lm = TransformerLMInt8.from_random(
+        vocab=args.vocab, d_model=args.d_model, n_heads=args.heads,
+        d_ff=2 * args.d_model, n_layers=args.layers,
+        max_len=args.max_len, sparsity=args.sparsity, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    calib = rng.integers(0, args.vocab,
+                         min(16, args.max_len)).astype(np.int32)
+    scales = lm.calibrate(calib)
+
+    prompts = [[int(t) for t in p.split(",")]
+               for p in args.prompts.split(";")]
+    for p in prompts:
+        if len(p) + args.n_new > args.max_len:
+            raise SystemExit("prompt + n_new exceeds --max-len")
+
+    tp_mesh = None
+    if args.tp > 1:
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.tp:
+            raise SystemExit(f"--tp {args.tp} needs {args.tp} devices, "
+                             f"have {len(devs)}")
+        tp_mesh = Mesh(np.array(devs[:args.tp]), ("tp",))
+
+    eng = PagedKVBatcher(
+        lm, scales, slots=args.slots, page=args.page,
+        pool_pages=args.pool_pages, chunk=args.chunk,
+        temperature=args.temperature, top_k=args.top_k,
+        reserve=args.reserve, prefix_cache=args.prefix_cache,
+        kv_dtype=args.kv_dtype, spec_draft=args.spec_draft,
+        tp_mesh=tp_mesh)
+    rids = [eng.submit(p, args.n_new, seed=args.sample_seed + i)
+            for i, p in enumerate(prompts)]
+    t0 = _time.perf_counter()
+    res = eng.run()
+    dt = _time.perf_counter() - t0
+    toks = 0
+    for i, (p, rid) in enumerate(zip(prompts, rids)):
+        print(f"req {i}: prompt {p} -> {res[rid]}")
+        toks += len(res[rid])
+    bits = [f"{toks} tokens in {dt:.2f}s (incl. compile)",
+            f"{eng.steps} engine steps / {eng.micro_steps} micro-steps",
+            f"pool {eng.kv_pool_bytes() / 1e6:.2f} MB ({args.kv_dtype})"]
+    if args.prefix_cache:
+        bits.append(f"cache hits {eng.cache_hits} "
+                    f"(+{eng.cache_tokens_skipped} prefill skipped)")
+    if eng.preemptions:
+        bits.append(f"preemptions {eng.preemptions}")
+    if tp_mesh is not None:
+        bits.append(f"tp={args.tp} (KV sliced by head)")
+    print("; ".join(bits))
+    return 0
+
+
 def cmd_profile(args):
     """Per-layer profile of ResNet-18 INT8: roofline table (default) or
     measured per-HLO device times via --measured (TPU only)."""
@@ -603,6 +674,39 @@ def build_parser():
     pg.add_argument("--draft", type=int, default=15,
                     help="speculative draft length per verify pass")
     pg.set_defaults(fn=cmd_generate)
+
+    pv2 = sub.add_parser(
+        "serve", help="continuous-batching LM serving (paged KV)")
+    pv2.add_argument("--prompts", default="1,2,3;4,5;6,7,8,9",
+                     help="semicolon-separated requests, each a "
+                          "comma-separated token-id prompt")
+    pv2.add_argument("--n-new", type=int, default=8)
+    pv2.add_argument("--slots", type=int, default=2)
+    pv2.add_argument("--page", type=int, default=8)
+    pv2.add_argument("--pool-pages", type=int, default=24)
+    pv2.add_argument("--chunk", type=int, default=8)
+    pv2.add_argument("--reserve", default="full",
+                     choices=["full", "ondemand"])
+    pv2.add_argument("--prefix-cache", action="store_true")
+    pv2.add_argument("--kv-dtype", default="fp32",
+                     choices=["fp32", "int8"])
+    pv2.add_argument("--spec-draft", type=int, default=0,
+                     help="speculative verify window (0 = off)")
+    pv2.add_argument("--temperature", type=float, default=0.0)
+    pv2.add_argument("--top-k", type=int, default=None)
+    pv2.add_argument("--sample-seed", type=int, default=0)
+    pv2.add_argument("--tp", type=int, default=1,
+                     help="shard the engine over a tp mesh of this "
+                          "many devices (KV pools sliced by head)")
+    pv2.add_argument("--layers", type=int, default=2)
+    pv2.add_argument("--d-model", type=int, default=128)
+    pv2.add_argument("--heads", type=int, default=4)
+    pv2.add_argument("--vocab", type=int, default=64)
+    pv2.add_argument("--max-len", type=int, default=64)
+    pv2.add_argument("--sparsity", type=float, default=0.8)
+    pv2.add_argument("--seed", type=int, default=0)
+    pv2.add_argument("--backend", default=None)
+    pv2.set_defaults(fn=cmd_serve)
 
     pf = sub.add_parser("fixtures", help="regenerate sparse test fixtures")
     pf.add_argument("--output", required=True)
