@@ -210,34 +210,62 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             # Both conv rows in ONE M=128 dot per (parity, kw-half):
             # channels 0-63 = row 2p (taps at sublanes 0-127 of the
             # 5-slot window), 64-127 = row 2p+1 (taps at 32-159).
+            # The lane axis is processed in chunks with the pool fold
+            # and requant applied per chunk, so only ONE chunk's int32
+            # accumulators are ever live — the full-width [128, lanes]
+            # accs of a naive formulation blow the scoped-VMEM budget
+            # (caught by tools/aot_check.py, round 5).
             first = jax.lax.rem(2 * g - 6 + 2 * RING, RING)
             off = first * 32
-            acc_e = jax.lax.dot_general(
-                wle_ref[:], ring_a[pl.ds(off, 160), 128:128 + lanes],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc_e += jax.lax.dot_general(
-                whe_ref[:], ring_a[pl.ds(off, 160), 256:256 + lanes],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc_o = jax.lax.dot_general(
-                wlo_ref[:], ring_b[pl.ds(off, 160), 0:128 + lanes],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc_o += jax.lax.dot_general(
-                who_ref[:], ring_b[pl.ds(off, 160), 128:256 + lanes],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            t = jax.lax.broadcasted_iota(
-                jnp.int32, (128, 128 + lanes), 1)
-            acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
-            cm = jnp.maximum(
-                jnp.maximum(acc_o[:, 0:lanes], acc_e),
-                acc_o[:, 128:128 + lanes])    # [128, lanes]
-            cm0, cm1 = cm[0:64], cm[64:128]
-        else:
-            cm0 = colmax_of(2 * g - 4)        # conv row 2p
-            cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
+            nch = 4 if nq % 4 == 0 else (2 if nq % 2 == 0 else 1)
+            nq2 = nq // nch
+            ln = nq2 * 128
+            for ci in range(nch):
+                lo = ci * ln
+                acc_e = jax.lax.dot_general(
+                    wle_ref[:],
+                    ring_a[pl.ds(off, 160), 128 + lo:128 + lo + ln],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_e += jax.lax.dot_general(
+                    whe_ref[:],
+                    ring_a[pl.ds(off, 160), 256 + lo:256 + lo + ln],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_o = jax.lax.dot_general(
+                    wlo_ref[:],
+                    ring_b[pl.ds(off, 160), lo:lo + 128 + ln],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_o += jax.lax.dot_general(
+                    who_ref[:],
+                    ring_b[pl.ds(off, 160),
+                           128 + lo:128 + lo + 128 + ln],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if ci == 0:
+                    # phantom column -1 of the odd extension
+                    t = jax.lax.broadcasted_iota(
+                        jnp.int32, (128, 128 + ln), 1)
+                    acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
+                cm = jnp.maximum(
+                    jnp.maximum(acc_o[:, 0:ln], acc_e),
+                    acc_o[:, 128:128 + ln])       # [128, ln]
+                cm0, cm1 = cm[0:64], cm[64:128]
+                pooled_acc = jnp.maximum(
+                    jnp.maximum(carry[:, lo:lo + ln], cm0), cm1)
+                carry[:, lo:lo + ln] = cm1
+                acc = jnp.maximum(pooled_acc + b_ref[:, 0:1], 0)
+                q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
+                                       * f_ref[:, 0:1]),
+                              -128, 127).astype(jnp.int8)
+                for qb in range(nq2):
+                    out_ref[0, ci * nq2 + qb, :, :] = \
+                        q8[:, qb * 128:(qb + 1) * 128]
+            return
+
+        cm0 = colmax_of(2 * g - 4)        # conv row 2p
+        cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
         pooled_acc = jnp.maximum(jnp.maximum(carry[...], cm0), cm1)
         carry[...] = cm1
 

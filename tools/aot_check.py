@@ -87,6 +87,13 @@ def main():
                        lambda fwd=fwd: jax.jit(fwd).lower(
                            pshapes, x).compile()))
 
+    # Row-stacked stem-kernel formulation (M=128/K=160 dots, deeper
+    # ring mirror): compile the forward that routes through it.
+    fwd_stk = make_forward(model, use_pallas=True, backend="tpu",
+                           conv_routes={"stem": "fused-stacked"})
+    checks.append(("resnet18_fwd_b128_stem_stacked",
+                   lambda: jax.jit(fwd_stk).lower(pshapes, x).compile()))
+
     # Batch 32 disqualifies the NM stem's 128-lane gate, forcing the WH
     # stem kernel (ops/stem_pack._kernel_wh) — whose bitcast parity
     # split has NO hermetic execution coverage (interpret mode takes
