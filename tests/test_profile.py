@@ -61,17 +61,36 @@ class TestMedianPairTime:
                 return self
 
         import time as _t
-        calls = {"l1": 0.001, "lc": 0.009}
+
+        # Deterministic accuracy check: drive the measurement with a
+        # scripted clock instead of real sleeps (real sleeps overshoot
+        # unboundedly on a loaded CPU and flaked the suite).  Each
+        # iteration reads perf_counter three times: t0, t1=t0+1ms,
+        # t2=t1+9ms -> pair = (9ms - 1ms)/(chain-1) = 1ms exactly.
+        from unittest import mock
+
+        ticks = iter(
+            base + off for base in range(1000) for off in (0.0, 0.001, 0.010)
+        )
+        with mock.patch(
+            "resnet_accel_tpu.runtime.perf.time"
+        ) as fake_time:
+            fake_time.perf_counter.side_effect = lambda: next(ticks)
+
+            def l1(x):
+                return np.zeros(1)
+
+            def lc(x):
+                return np.zeros(1)
+
+            dt = median_pair_time(l1, lc, None, chain=9, iters=3)
+            assert abs(dt - 0.001) < 1e-12, dt
 
         def l1(x):
-            _t.sleep(calls["l1"]); return np.zeros(1)
+            return np.zeros(1)
 
         def lc(x):
-            _t.sleep(calls["lc"]); return np.zeros(1)
-
-        dt = median_pair_time(l1, lc, None, chain=9, iters=3)
-        # (9ms - 1ms) / 8 = ~1ms per call
-        assert 0.0005 < dt < 0.005
+            return np.zeros(1)
 
         with pytest.raises(ValueError, match="chain"):
             median_pair_time(l1, lc, None, chain=1)
