@@ -58,10 +58,31 @@ def time_ab(N=128, H=224, W=224, reps=30, seed=0):
     """Kernel-only A/B: median wall time of the M=64 vs the stacked
     M=128 formulation at the ImageNet geometry (chained on one input;
     dispatch included, identical for both)."""
+    import subprocess
     import time
+
+    # Tunnel probe in a throwaway subprocess (bench.py pattern): a dead
+    # or mid-handoff tunnel blocks make_c_api_client forever inside a
+    # GIL-holding C call — this run hung 30 min with zero output when
+    # queued immediately after another TPU process exited (round 5).
+    for attempt in range(5):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, capture_output=True, check=True)
+            break
+        except subprocess.TimeoutExpired:
+            print(f"tunnel probe attempt {attempt} timed out; retrying",
+                  flush=True)
+    else:
+        raise RuntimeError("TPU tunnel did not come up in 5 probes")
 
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from resnet_accel_tpu.ops.conv import stem_s2d_weights
     from resnet_accel_tpu.ops.epilogue import requant_factors
     from resnet_accel_tpu.ops.stem_fused import stem_conv_pool_nm
@@ -79,7 +100,9 @@ def time_ab(N=128, H=224, W=224, reps=30, seed=0):
     for stacked in (False, True):
         fn = jax.jit(lambda xx: stem_conv_pool_nm(
             xx, w2d, b, f, scale, stacked=stacked))
+        print(f"stacked={stacked}: compiling...", flush=True)
         jax.block_until_ready(fn(x))
+        print(f"stacked={stacked}: warm, timing {reps} reps", flush=True)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
