@@ -44,6 +44,30 @@ def main():
     corpus = corpus_bytes()
     model, scales, _ = train_corpus_lm(corpus, max_len=1024)
 
+    def replay_acceptance(prompts, streams, draft, ngram=3):
+        """Exact host-side replay of the greedy speculative schedule:
+        greedy spec is stream-exact, so the number of engine verifies
+        (and the mean tokens emitted per verify) is a pure function of
+        the final stream and the draft policy.  Uses the engine's own
+        prompt-lookup ``_draft``."""
+        from resnet_accel_tpu.runtime.paged import PagedKVBatcher
+        emitted = verifies = 0
+        for p, s in zip(prompts, streams):
+            chain, pos = list(p) + list(s), len(p)
+            while pos < len(chain):
+                d = PagedKVBatcher._draft(
+                    type("D", (), {"spec_ngram": ngram})(),
+                    chain[:pos], draft)
+                k = 0
+                while (k < len(d) and pos + k + 1 < len(chain)
+                       and d[k] == chain[pos + k]):
+                    k += 1
+                step = min(k + 1, len(chain) - pos)
+                emitted += step
+                verifies += 1
+                pos += step
+        return emitted / max(verifies, 1)
+
     def run_engine(slots, draft, prompts, seeds=None, **kw):
         need = -(-(PROMPT + N_NEW + max(draft, 0)) // 16)
         seeds = seeds or [0] * len(prompts)
@@ -76,15 +100,20 @@ def main():
                                            kv_dtype=kv)
                 if draft == 0:
                     base_tps, base_out = tps, outs
-                    rel, ident = 1.0, True
+                    rel, ident, acc = 1.0, True, None
                 else:
                     rel = tps / base_tps if base_tps else float("nan")
                     ident = outs == base_out
+                    acc = replay_acceptance(prompts, outs, draft)
                 results.append({"kv": kv, "slots": slots,
                                 "draft": draft, "tok_s": tps,
-                                "rel": rel, "identical": ident})
+                                "rel": rel, "identical": ident,
+                                "accepted_per_verify": acc,
+                                "streams": [list(o) for o in outs]})
                 print(f"{kv:>5} {slots:5d} {draft:5d} {tps:9.1f} "
-                      f"{dt:7.2f} {rel:9.2f}x {str(ident):>9}",
+                      f"{dt:7.2f} {rel:9.2f}x {str(ident):>9}"
+                      + (f"  acc/verify {acc:.2f}/{draft + 1}"
+                         if acc is not None else ""),
                       flush=True)
                 assert ident, (
                     f"speculative outputs diverged at kv={kv} "
@@ -156,7 +185,7 @@ def main():
               f"({prefix['rel']:.2f}x), outputs identical", flush=True)
 
     import json
-    out_path = os.path.join(
+    out_path = os.environ.get("PSB_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "paged_spec_bench.json")
     with open(out_path, "w") as fh:
