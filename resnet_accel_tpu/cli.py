@@ -480,7 +480,7 @@ def cmd_serve(args):
         temperature=args.temperature, top_k=args.top_k,
         reserve=args.reserve, prefix_cache=args.prefix_cache,
         kv_dtype=args.kv_dtype, spec_draft=args.spec_draft,
-        tp_mesh=tp_mesh)
+        spec_adaptive=args.spec_adaptive, tp_mesh=tp_mesh)
     rids = [eng.submit(p, args.n_new, seed=args.sample_seed + i)
             for i, p in enumerate(prompts)]
     t0 = _time.perf_counter()
@@ -498,6 +498,8 @@ def cmd_serve(args):
                     f"(+{eng.cache_tokens_skipped} prefill skipped)")
     if eng.preemptions:
         bits.append(f"preemptions {eng.preemptions}")
+    if args.spec_adaptive:
+        bits.append(f"spec mode switches {eng.spec_switches}")
     if tp_mesh is not None:
         bits.append(f"tp={args.tp} (KV sliced by head)")
     print("; ".join(bits))
@@ -692,6 +694,10 @@ def build_parser():
                      choices=["fp32", "int8"])
     pv2.add_argument("--spec-draft", type=int, default=0,
                      help="speculative verify window (0 = off)")
+    pv2.add_argument("--spec-adaptive", action="store_true",
+                     help="auto-disable speculation when the measured "
+                          "acceptance EWMA stops beating chunked "
+                          "dispatch (greedy only; docs/SERVING.md)")
     pv2.add_argument("--temperature", type=float, default=0.0)
     pv2.add_argument("--top-k", type=int, default=None)
     pv2.add_argument("--sample-seed", type=int, default=0)

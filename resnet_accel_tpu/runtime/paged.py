@@ -83,6 +83,9 @@ class PagedKVBatcher(_IterationScheduler):
                  top_k: Optional[int] = None, reserve: str = "full",
                  prefix_cache: bool = False, kv_dtype: str = "fp32",
                  spec_draft: int = 0, spec_ngram: int = 3,
+                 spec_adaptive: bool = False,
+                 spec_min_take: Optional[float] = None,
+                 spec_reprobe: int = 50, spec_probe: int = 3,
                  tp_mesh=None):
         if slots < 1:
             raise ValueError("slots must be >= 1")
@@ -121,6 +124,40 @@ class PagedKVBatcher(_IterationScheduler):
         self.spec_ngram = int(spec_ngram)
         spec = self.spec_draft > 0
         S = self.spec_draft + 1
+        # Adaptive speculation (spec_adaptive=True): measured round-5
+        # verdict (docs/SERVING.md) — the non-spec engine amortizes
+        # `chunk` micro-steps per dispatch, so a verify window must
+        # emit more than `chunk` tokens per dispatch to pay for itself,
+        # which only happens when prompt-lookup acceptance runs long.
+        # This mode tracks an EWMA of tokens-consumed-per-verify and
+        # falls back to the chunked program when it drops below
+        # `spec_min_take` (default: `chunk`), re-probing speculation
+        # every `spec_reprobe` chunked dispatches.  Greedy only: both
+        # programs emit the model's exact argmax chain, so streams are
+        # bit-identical to either pure mode no matter where the engine
+        # switches.
+        self.spec_adaptive = bool(spec_adaptive)
+        if self.spec_adaptive:
+            if not spec:
+                raise ValueError("spec_adaptive requires spec_draft > 0")
+            if temperature > 0:
+                raise ValueError(
+                    "spec_adaptive is greedy-only (sampled streams "
+                    "consume randomness differently per mode, so "
+                    "switching would change them)")
+            if spec_probe < 1 or spec_reprobe < 1:
+                raise ValueError("spec_probe and spec_reprobe must "
+                                 "be >= 1")
+        self.spec_min_take = (float(spec_min_take)
+                              if spec_min_take is not None
+                              else float(chunk))
+        self.spec_reprobe = int(spec_reprobe)
+        self.spec_probe = int(spec_probe)
+        self._spec_mode = True        # adaptive: currently speculating?
+        self._spec_ewma: Optional[float] = None
+        self._spec_samples = 0
+        self._chunk_left = 0
+        self.spec_switches = 0        # mode flips (observability)
         self._overhang = S - 1 if spec else 0
         self._win = S if spec else self.chunk
         self._table_pages = self.max_pages + (
@@ -772,6 +809,8 @@ class PagedKVBatcher(_IterationScheduler):
         self.micro_steps += S
         emit = np.asarray(emit)
         n_cons = np.asarray(n_cons)
+        self._last_take = (float(np.mean([n_cons[s] for s in consumed0]))
+                           if consumed0 else None)
 
         for slot in list(self._active):
             req = self._active[slot]
@@ -803,9 +842,48 @@ class PagedKVBatcher(_IterationScheduler):
         adds page admission/growth/release (and, in ondemand mode,
         preemption) around it.  With ``spec_draft > 0`` the iteration
         is a speculative verify window instead of ``chunk``
-        micro-steps (see _step_spec)."""
-        if self.spec_draft:
+        micro-steps (see _step_spec); ``spec_adaptive`` switches
+        between the two programs on the measured acceptance EWMA."""
+        if self.spec_draft and not self.spec_adaptive:
             return self._step_spec()
+        if self.spec_draft:
+            return self._step_adaptive()
+        return self._step_chunked()
+
+    def _step_adaptive(self) -> bool:
+        """Adaptive-mode iteration: speculate while the acceptance
+        EWMA says it pays, otherwise run chunked dispatches and
+        re-probe periodically.  Greedy streams are identical either
+        way (both programs emit the model's argmax chain)."""
+        if not self._spec_mode:
+            alive = self._step_chunked()
+            self._chunk_left -= 1
+            if self._chunk_left <= 0:
+                self._spec_mode = True
+                self._spec_ewma, self._spec_samples = None, 0
+                self.spec_switches += 1
+            return alive
+
+        alive = self._step_spec()
+        take = getattr(self, "_last_take", None)
+        if take is not None:
+            self._spec_ewma = (take if self._spec_ewma is None
+                               else 0.6 * self._spec_ewma + 0.4 * take)
+            self._spec_samples += 1
+            if (self._spec_samples >= self.spec_probe
+                    and self._spec_ewma < self.spec_min_take):
+                # speculation is not paying: hand the chains to the
+                # chunked program (it resumes from self._prev for
+                # slots past their prompt)
+                for slot, req in self._active.items():
+                    if self._slot_len.get(slot, 0) >= len(req.prompt):
+                        self._prev[slot] = req.out[-1]
+                self._spec_mode = False
+                self._chunk_left = self.spec_reprobe
+                self.spec_switches += 1
+        return alive
+
+    def _step_chunked(self) -> bool:
         self._admit()
         if self.reserve == "ondemand":
             self._ensure_pages()

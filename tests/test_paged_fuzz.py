@@ -75,6 +75,15 @@ def scenario(draw):
     spec_draft = draw(st.sampled_from([0, 0, 3]))
     temperature = 0.0 if spec_draft else draw(
         st.sampled_from([0.0, 0.8]))
+    # adaptive speculation: random thresholds/cadence so runs flip
+    # between the spec and chunked programs mid-schedule
+    spec_adaptive = bool(spec_draft) and draw(st.booleans())
+    spec_kw = {}
+    if spec_adaptive:
+        spec_kw = dict(spec_adaptive=True,
+                       spec_min_take=draw(st.sampled_from([0.0, 999.0])),
+                       spec_probe=draw(st.integers(1, 2)),
+                       spec_reprobe=draw(st.integers(1, 3)))
     reqs = []
     for _ in range(draw(st.integers(2, 4))):
         plen = draw(st.integers(1, 8))
@@ -93,8 +102,8 @@ def scenario(draw):
     return dict(page=page, slots=slots, chunk=chunk, reserve=reserve,
                 prefix_cache=prefix_cache, kv_dtype=kv_dtype,
                 spec_draft=spec_draft, temperature=temperature,
-                reqs=reqs, pool=pool, wave_split=wave_split,
-                mid_steps=mid_steps)
+                spec_kw=spec_kw, reqs=reqs, pool=pool,
+                wave_split=wave_split, mid_steps=mid_steps)
 
 
 def _run_engine(model, scales, sc, **overrides):
@@ -103,7 +112,10 @@ def _run_engine(model, scales, sc, **overrides):
               reserve=sc["reserve"], prefix_cache=sc["prefix_cache"],
               kv_dtype=sc["kv_dtype"], spec_draft=sc["spec_draft"],
               temperature=sc["temperature"],
-              top_k=12 if sc["temperature"] > 0 else None)
+              top_k=12 if sc["temperature"] > 0 else None,
+              **sc["spec_kw"])
+    if "spec_draft" in overrides and not overrides["spec_draft"]:
+        overrides.setdefault("spec_adaptive", False)
     kw.update(overrides)
     eng = PagedKVBatcher(model, scales, **kw)
     rids = []
