@@ -110,7 +110,7 @@ def pack_stem_weights_stacked(w2d, dtype=jnp.int8):
 
 def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             out_ref, ring_a, ring_b, carry, *, nq: int, pooled: int,
-            scale: float, stacked: bool):
+            scale: float, stacked: bool, chunks: int = 4):
     """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
     2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
     2p+1, int32 colmax pool fold, pooled row p) so the dots only read
@@ -217,7 +217,8 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             # (caught by tools/aot_check.py, round 5).
             first = jax.lax.rem(2 * g - 6 + 2 * RING, RING)
             off = first * 32
-            nch = 4 if nq % 4 == 0 else (2 if nq % 2 == 0 else 1)
+            nch = chunks if nq % chunks == 0 else (
+                4 if nq % 4 == 0 else (2 if nq % 2 == 0 else 1))
             nq2 = nq // nch
             ln = nq2 * 128
             for ci in range(nch):
@@ -280,12 +281,14 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "stacked",
+                                    "chunks",
                                     "kernel_interpret"))
 def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       bias: jnp.ndarray, factors: jnp.ndarray,
                       scale: float,
                       interpret: bool = False,
-                      stacked: bool = True,
+                      stacked: bool = False,
+                      chunks: int = 4,
                       kernel_interpret: bool = False) -> jnp.ndarray:
     """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
     stem complex in one HBM pass (see module docstring).
@@ -296,10 +299,19 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     H % 4 == W % 4 == 0 (the throughput geometry); callers fall back
     to the unfused path otherwise (models.resnet18.make_forward).
 
-    ``stacked=True`` (the round-5 default) computes both conv rows of
-    a step in one M=128 dot per (parity, kw-half) against a 5-slot
-    staged window — all 128 MXU rows live, vs the round-4 M=64
-    formulation (``stacked=False``, kept for A/B measurement).
+    ``stacked=True`` computes both conv rows of a step in one M=128
+    dot per (parity, kw-half) against a 5-slot staged window — all 128
+    MXU rows live.  Measured on chip (round 5, tools/stem_chunk_ab.py
+    + tools/route_tune.py): it is 13-16% SLOWER than the M=64
+    formulation (615.7 vs 543.0 us bare-kernel device time; in-model
+    stem 541 vs 467 us) at every legal lane-chunk count (``chunks``;
+    c2 exceeds scoped VMEM), because the block-shift-diagonal weight
+    pads K 128->160 — 25% real MXU K-cycles — and the 160-sublane
+    windows defeat Mosaic's aligned-read paths.  The MXU row
+    occupancy named as the round-4 cap is therefore NOT the binding
+    constraint.  ``stacked=False`` (M=64) is the default and the
+    shipped route; stacked is kept behind the ``fused-stacked``
+    route for A/B measurement.
 
     In interpret mode (CPU) the identical arithmetic runs as the
     reference composition — the kernel is TPU-layout-specific.
@@ -340,7 +352,8 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
 
     nq_rows = pooled               # input groups 0..pooled
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
-                             scale=float(scale), stacked=stacked)
+                             scale=float(scale), stacked=stacked,
+                             chunks=chunks)
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,

@@ -62,6 +62,7 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("barrier", {"residual_barrier": True}),
         ("l1bf16", {"conv_routes": {k: "bf16" for k in L1}}),
         ("l1nhwc", {"conv_routes": {k: "nhwc" for k in L1}}),
+        ("stemstacked", {"conv_routes": {"stem": "fused-stacked"}}),
         ("stembf16", {"conv_routes": {"stem": "bf16"}}),
         ("stemxla", {"stem_nm": False, "stem_wh": False}),
         ("stemwh", {"stem_nm": False}),

@@ -97,16 +97,23 @@ def time_ab(N=128, H=224, W=224, reps=30, seed=0):
     b = jnp.asarray(bias_to_int32(
         rng.normal(0, 0.5, 64).astype(np.float32), scale, ws))
     f = jnp.asarray(requant_factors(scale, ws, 0.05))
+    # Call the (already-jitted) kernel entry point DIRECTLY — the same
+    # calling convention the exactness check uses.  Wrapping it in an
+    # outer jit(lambda) that closes over the weights made compilation
+    # hang >30 min on the tunnel (weights become embedded jaxpr
+    # constants); as traced ARGUMENTS the identical program compiles
+    # in minutes (observed, round 5).
     for stacked in (False, True):
-        fn = jax.jit(lambda xx: stem_conv_pool_nm(
-            xx, w2d, b, f, scale, stacked=stacked))
         print(f"stacked={stacked}: compiling...", flush=True)
-        jax.block_until_ready(fn(x))
+        jax.block_until_ready(
+            stem_conv_pool_nm(x, w2d, b, f, scale, stacked=stacked))
         print(f"stacked={stacked}: warm, timing {reps} reps", flush=True)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(x))
+            jax.block_until_ready(
+                stem_conv_pool_nm(x, w2d, b, f, scale,
+                                  stacked=stacked))
             ts.append(time.perf_counter() - t0)
         med = float(np.median(ts)) * 1e6
         print(f"stacked={stacked}: median {med:.1f} us "
