@@ -11,10 +11,13 @@
 set -euo pipefail
 
 count() {
+  # NUL-delimited: the reference has a directory with a space in its
+  # name ("sw/INT8 quantization"), which breaks whitespace xargs.
   find "$@" \( -name '*.py' -o -name '*.c' -o -name '*.cc' \
        -o -name '*.cpp' -o -name '*.h' -o -name '*.hpp' \) -type f \
-    | grep -viE '(^|/)[^/]*test[^/]*(/|$)' \
-    | xargs wc -l 2>/dev/null | tail -1 | awk '{print $1}'
+       -print0 \
+    | grep -zviE '(^|/)[^/]*test[^/]*(/|$)' \
+    | xargs -0 cat 2>/dev/null | wc -l
 }
 
 repo=$(count /root/repo/resnet_accel_tpu /root/repo/native/src \
