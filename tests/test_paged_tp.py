@@ -136,6 +136,27 @@ def test_speculative_while_sharded(lm, tp_mesh):
         assert pres[pr] == sres[sr]
 
 
+def test_adaptive_speculation_while_sharded(lm, tp_mesh):
+    """spec_adaptive composes with tp: both device programs exist
+    sharded, and a flip-happy switching schedule stays bit-identical
+    to the non-speculative tp engine."""
+    model, scales = lm
+    prompts = [([5, 9, 2, 44, 5, 9, 2], 8, 0), ([7, 3, 7, 3, 7], 6, 0)]
+    plain = PagedKVBatcher(model, scales, slots=2, page=8,
+                           pool_pages=12, tp_mesh=tp_mesh)
+    adapt = PagedKVBatcher(model, scales, slots=2, page=8,
+                           pool_pages=12, tp_mesh=tp_mesh,
+                           spec_draft=3, spec_adaptive=True,
+                           spec_min_take=999.0, spec_probe=1,
+                           spec_reprobe=2)
+    prids = [plain.submit(p, n, seed=s) for p, n, s in prompts]
+    arids = [adapt.submit(p, n, seed=s) for p, n, s in prompts]
+    pres, ares = plain.run(), adapt.run()
+    for pr, ar in zip(prids, arids):
+        assert pres[pr] == ares[ar]
+    assert adapt.spec_switches > 1
+
+
 def test_score_matches_single_device(lm, tp_mesh):
     model, scales = lm
     rng = np.random.default_rng(5)
