@@ -109,7 +109,11 @@ def main():
                                 "draft": draft, "tok_s": tps,
                                 "rel": rel, "identical": ident,
                                 "accepted_per_verify": acc,
-                                "streams": [list(o) for o in outs]})
+                                # compact: one comma-joined string per
+                                # stream (pretty-printed int lists
+                                # ballooned the committed JSON)
+                                "streams": [",".join(map(str, o))
+                                            for o in outs]})
                 print(f"{kv:>5} {slots:5d} {draft:5d} {tps:9.1f} "
                       f"{dt:7.2f} {rel:9.2f}x {str(ident):>9}"
                       + (f"  acc/verify {acc:.2f}/{draft + 1}"
