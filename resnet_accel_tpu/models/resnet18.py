@@ -400,6 +400,7 @@ def quantize_resnet18(
     bottleneck: bool = False,
     calib_batch_size: Optional[int] = None,
     calib_percentile: Optional[float] = None,
+    pow2_input_scale: bool = False,
 ) -> ResNet18Int8:
     """Fold BN, quantize per-channel INT8, calibrate activation scales.
 
@@ -415,6 +416,14 @@ def quantize_resnet18(
     (quantize_resnet18.py:103-160); outliers then saturate at +-127.
     ``stages``/``bottleneck`` generalize to the deeper family
     (models/resnet.py); defaults are ResNet-18.
+    ``pow2_input_scale`` snaps the INPUT activation scale up to the
+    next power of two (epilogue.pow2_scale) — at most one bit of input
+    resolution for a provably-exact reciprocal multiply in the fused
+    stem's staging quantize (the classic fixed-point-hardware
+    calibration constraint; the reference's requant datapath is
+    Q16.16, output_accumulator.sv:397-426).  All downstream
+    bias/requant constants are derived from the snapped scale, so
+    every bit-exactness contract is unchanged.
     """
     stages = STAGES if stages is None else stages
     # ---- 1. fold BN into convs ------------------------------------------
@@ -442,6 +451,9 @@ def quantize_resnet18(
         return max(float(m) / 127.0, 1e-12)
 
     s_input = scale_from_max(np.abs(calib_x).max())
+    if pow2_input_scale:
+        from resnet_accel_tpu.ops.epilogue import pow2_scale
+        s_input = pow2_scale(s_input)
     s = {k: scale_from_max(m) for k, m in maxima.items()}
 
     # ---- 3. build quantized layers --------------------------------------
@@ -632,6 +644,11 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     ``{"stem": "fused-stacked"}`` routes the fused stem kernel through
     its row-stacked M=128 dots (ops/stem_fused.py ``stacked``;
     pending on-chip A/B vs the round-4 M=64 default).
+    ``{"stem_quant": "div"|"inv"|"auto"}`` picks the fused stem's
+    staging-quantize op: ``auto`` (default) multiplies by the exact
+    reciprocal when the input scale is a power of two
+    (epilogue.exact_pow2_inv — bit-identical by construction) and
+    divides otherwise.
     ``residual_barrier`` puts an optimization barrier between each block's
     convs and its residual add, keeping the add out of the conv fusion.
 
@@ -880,7 +897,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                     x, w, params["stem.b"], params["stem.f"],
                     model.s_input, interpret=interp,
                     stacked=(conv_routes or {}).get("stem")
-                    == "fused-stacked")
+                    == "fused-stacked",
+                    quant_mode=(conv_routes or {}).get("stem_quant",
+                                                       "auto"))
             return _trunk(params, a)
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
         nm = (use_nm and s2d_ok and x.dtype != jnp.int8

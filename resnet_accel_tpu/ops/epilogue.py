@@ -119,6 +119,53 @@ def exact_inv_out_scale(
     return float(inv) if np.array_equal(qd, qm) else None
 
 
+def exact_pow2_inv(scale: float) -> Optional[float]:
+    """Exact f32 reciprocal for a power-of-two scale, else None.
+
+    When ``scale`` is exactly a power of two, ``x / scale`` and
+    ``x * (1/scale)`` are the SAME f32 operation for every input —
+    scaling by 2^k only shifts the exponent, so the infinitely-precise
+    quotient and product coincide and round identically (including
+    subnormal and overflow cases).  Kernels can then replace the VPU
+    divide in the golden quantize ``rint(x / s)`` with a multiply,
+    bit-for-bit, with no per-value sweep required.  Calibrators opt in
+    by snapping the activation scale to a power of two
+    (``pow2_scale``), the classic fixed-point-hardware discipline (the
+    reference's own requant datapath is Q16.16,
+    output_accumulator.sv:397-426).
+    """
+    import math
+
+    s32 = np.float32(scale)
+    if not np.isfinite(s32) or s32 <= 0:
+        return None
+    m, _ = math.frexp(float(s32))
+    if m != 0.5:
+        return None
+    inv = np.float32(1.0) / s32
+    if not np.isfinite(inv):
+        return None
+    return float(inv)
+
+
+def pow2_scale(scale: float) -> float:
+    """Snap a calibrated scale UP to the next power of two.
+
+    Rounding up keeps the representable range a superset of the
+    calibrated one (no new clipping); the cost is at most one bit of
+    input resolution.  The returned value satisfies
+    ``exact_pow2_inv(pow2_scale(s)) is not None``.
+    """
+    import math
+
+    s = float(np.float32(scale))
+    if s <= 0 or not math.isfinite(s):
+        raise ValueError(f"scale must be positive finite, got {scale}")
+    m, e = math.frexp(s)            # s = m * 2**e, m in [0.5, 1)
+    snapped = math.ldexp(1.0, e - 1) if m == 0.5 else math.ldexp(1.0, e)
+    return float(np.float32(snapped))
+
+
 def add_residual(
     main: jnp.ndarray,
     residual: jnp.ndarray,

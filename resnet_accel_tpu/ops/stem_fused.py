@@ -109,8 +109,9 @@ def pack_stem_weights_stacked(w2d, dtype=jnp.int8):
 
 
 def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
-            out_ref, ring_a, ring_b, carry, *, nq: int, pooled: int,
-            scale: float, stacked: bool, chunks: int = 4):
+            out_ref, ring_a, ring_b, carry, *scratch, nq: int,
+            pooled: int, scale: float, stacked: bool, chunks: int = 4,
+            inv_scale=None, block_q: bool = False):
     """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
     2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
     2p+1, int32 colmax pool fold, pooled row p) so the dots only read
@@ -118,6 +119,18 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
     MXU dots of a step are data-disjoint and can overlap."""
     g = pl.program_id(1)
     lanes = nq * 128
+    qbuf = scratch[0] if scratch else None
+
+    def _q(v):
+        # inv_scale is only ever passed with a host-side exactness
+        # proof (power-of-two scale: x*2^k == x/2^-k bit-for-bit, see
+        # epilogue.exact_pow2_inv) — the golden contract stays rint of
+        # the quotient either way.
+        if inv_scale is not None:
+            r = jnp.rint(v * jnp.float32(inv_scale))
+        else:
+            r = jnp.rint(v / jnp.float32(scale))
+        return jnp.clip(r, -128, 127).astype(jnp.int8)
 
     @pl.when(g == 0)
     def _init():
@@ -128,6 +141,15 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
     # are padded rows 4g .. 4g+3 = this step's input block; the final
     # lag step has nothing new to stage) --------------------------------
     def _stage_body():
+      if block_q:
+          # Quantize each channel's whole [4, W, 128] input block ONCE
+          # into an int8 scratch, then run the 24 strided parity reads
+          # on int8 refs.  Measured round 5: Mosaic rejects this —
+          # "Strided load with non 32-bit data" — so the mode is kept
+          # only for interpret-mode study; the shipped kernel strides
+          # the fp32 ref and quantizes per plane.
+          for c in range(3):
+              qbuf[pl.ds(4 * c, 4)] = _q(x_ref[c, 0])
       for li, r_off in ((0, -1), (1, 0)):
           planes_e, planes_o = [], []
           for c in range(3):
@@ -135,12 +157,13 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
                   for cp in range(2):
                       # s2d col u = image col 2u + cp: E (u even) is
                       # image cols cp::4, O (u odd) is cp+2::4
-                      xe = x_ref[c, 0, 2 * li + rp, cp::4, :]
-                      xo = x_ref[c, 0, 2 * li + rp, cp + 2::4, :]
-                      qe = jnp.clip(jnp.rint(xe / jnp.float32(scale)),
-                                    -128, 127).astype(jnp.int8)
-                      qo = jnp.clip(jnp.rint(xo / jnp.float32(scale)),
-                                    -128, 127).astype(jnp.int8)
+                      if block_q:
+                          qe = qbuf[4 * c + 2 * li + rp, cp::4, :]
+                          qo = qbuf[4 * c + 2 * li + rp, cp + 2::4, :]
+                      else:
+                          qe = _q(x_ref[c, 0, 2 * li + rp, cp::4, :])
+                          qo = _q(x_ref[c, 0, 2 * li + rp,
+                                        cp + 2::4, :])
                       planes_e.append(qe)
                       planes_o.append(qo)
           e = jnp.stack(planes_e).reshape(12, lanes)
@@ -281,7 +304,7 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "stacked",
-                                    "chunks",
+                                    "chunks", "quant_mode",
                                     "kernel_interpret"))
 def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       bias: jnp.ndarray, factors: jnp.ndarray,
@@ -289,6 +312,7 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       interpret: bool = False,
                       stacked: bool = False,
                       chunks: int = 4,
+                      quant_mode: str = "auto",
                       kernel_interpret: bool = False) -> jnp.ndarray:
     """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
     stem complex in one HBM pass (see module docstring).
@@ -350,10 +374,30 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     b2 = jnp.asarray(bias, jnp.int32).reshape(64, 1)
     f2 = jnp.asarray(factors, jnp.float32).reshape(64, 1)
 
+    if quant_mode not in ("auto", "div", "inv", "block",
+                          "block-inv"):
+        raise ValueError(f"unknown quant_mode {quant_mode!r}")
+    from resnet_accel_tpu.ops.epilogue import exact_pow2_inv
+    inv = exact_pow2_inv(scale)
+    if quant_mode == "auto":
+        # The pow2-reciprocal multiply is bit-identical by construction
+        # (exact_pow2_inv) and never slower than the divide; use it
+        # whenever the calibrated scale permits.  The int8 block-split
+        # modes are NOT auto-selected: Mosaic has no sub-32-bit strided
+        # load (measured round 5, tools/stem_quant_ab.py).
+        quant_mode = "inv" if inv is not None else "div"
+    if quant_mode.endswith("inv") and inv is None:
+        raise ValueError(
+            f"quant_mode={quant_mode!r} needs a power-of-two scale "
+            f"(got {scale!r}); see epilogue.exact_pow2_inv")
+    inv_scale = inv if quant_mode.endswith("inv") else None
+    block_q = quant_mode.startswith("block")
+
     nq_rows = pooled               # input groups 0..pooled
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
                              scale=float(scale), stacked=stacked,
-                             chunks=chunks)
+                             chunks=chunks, inv_scale=inv_scale,
+                             block_q=block_q)
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,
@@ -385,7 +429,7 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
             pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
             pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
             pltpu.VMEM((64, nq * 128), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((12, W, 128), jnp.int8)] if block_q else []),
         interpret=kernel_interpret,
     )(xt, wle, whe, wlo, who, b2, f2)
     return out.transpose(3, 2, 0, 1)      # NCHW view, batch-minor phys

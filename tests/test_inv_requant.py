@@ -88,3 +88,61 @@ def test_forward_uses_proof_and_stays_golden_exact():
     fwd = r18.make_forward(model, backend="cpu")
     got = np.asarray(fwd(model.as_device_params(), x))
     np.testing.assert_array_equal(got, r18.forward_golden(model, x))
+
+
+def test_exact_pow2_inv():
+    """pow2 scales get an exact reciprocal; everything else None."""
+    from resnet_accel_tpu.ops.epilogue import exact_pow2_inv, pow2_scale
+
+    for k in range(-20, 21):
+        s = float(2.0 ** k)
+        inv = exact_pow2_inv(s)
+        assert inv == 1.0 / s
+        # x/s == x*inv bit-for-bit on a hostile sample: subnormals,
+        # huge values, tie-boundary neighborhoods
+        rng = np.random.default_rng(k + 100)
+        x = np.concatenate([
+            rng.normal(0, 1, 4096).astype(np.float32),
+            (rng.integers(-200, 200, 512).astype(np.float32) + 0.5) * s,
+            np.float32([1e-38, -1e-38, 3e38, -3e38, 0.0]),
+        ]).astype(np.float32)
+        np.testing.assert_array_equal(x / np.float32(s),
+                                      x * np.float32(inv))
+    for s in (3 / 127, 0.1, 0.05, 1e-12, 0.75):
+        assert exact_pow2_inv(s) is None
+    assert exact_pow2_inv(0.0) is None
+    assert exact_pow2_inv(-1.0) is None
+
+    # pow2_scale: snaps UP, idempotent on pow2, and always verifiable
+    assert pow2_scale(0.03) == 0.03125
+    assert pow2_scale(0.03125) == 0.03125
+    assert pow2_scale(0.04) == 0.0625
+    for s in (3 / 127, 0.1, 1e-9, 123.4):
+        p = pow2_scale(s)
+        assert p >= s
+        assert p < 2 * s
+        assert exact_pow2_inv(p) is not None
+
+
+def test_pow2_input_scale_calibration():
+    """quantize_resnet18(pow2_input_scale=True) produces a pow2 input
+    scale and a model whose forward stays golden-exact (all downstream
+    constants derive from the snapped scale)."""
+    from resnet_accel_tpu.models.resnet18 import (init_resnet18_fp32,
+                                                  make_forward,
+                                                  quantize_resnet18)
+    from resnet_accel_tpu.ops.epilogue import exact_pow2_inv
+
+    rng = np.random.default_rng(0)
+    fp32 = init_resnet18_fp32(seed=0, num_classes=10, small_input=True)
+    calib = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    m = quantize_resnet18(fp32, calib, 10, small_input=True,
+                          pow2_input_scale=True)
+    assert exact_pow2_inv(m.s_input) is not None
+    x = rng.normal(0, 1, (4, 3, 32, 32)).astype(np.float32)
+    dev = make_forward(m, use_pallas=False)
+    golden = make_forward(m, use_pallas=False, backend="cpu")
+    np.testing.assert_array_equal(np.asarray(dev(m.as_device_params(),
+                                                 x)),
+                                  np.asarray(golden(
+                                      m.as_device_params(), x)))

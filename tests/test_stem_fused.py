@@ -183,3 +183,28 @@ def test_geometry_gate():
         stem_conv_pool_nm(x, jnp.zeros((64, 192), jnp.int8),
                           jnp.zeros(64, jnp.int32),
                           jnp.ones(64, jnp.float32), 0.05)
+
+
+def test_quant_mode_inv_matches_golden():
+    """The verified pow2-reciprocal staging multiply (quant_mode="inv")
+    is bit-identical to the golden divide — same kernel, same
+    interpreter, pow2 scale (epilogue.exact_pow2_inv contract)."""
+    x, w2d, bias, factors, _ = _make_inputs(128, 16, 16, seed=7)
+    scale = 0.03125                     # 2^-5
+    want = _golden_stem(x, w2d, bias, factors, scale)
+    for qm in ("div", "inv"):
+        got = np.asarray(stem_conv_pool_nm(
+            jnp.asarray(x), jnp.asarray(w2d), jnp.asarray(bias),
+            jnp.asarray(factors), scale, quant_mode=qm,
+            kernel_interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_quant_mode_gate():
+    x = jnp.zeros((128, 3, 16, 16), jnp.float32)
+    args = (x, jnp.zeros((64, 192), jnp.int8), jnp.zeros(64, jnp.int32),
+            jnp.ones(64, jnp.float32))
+    with pytest.raises(ValueError, match="power-of-two"):
+        stem_conv_pool_nm(*args, 0.05, quant_mode="inv")
+    with pytest.raises(ValueError, match="quant_mode"):
+        stem_conv_pool_nm(*args, 0.03125, quant_mode="nonsense")
