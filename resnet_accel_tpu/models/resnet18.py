@@ -618,6 +618,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  backend: Optional[str] = None,
                  conv_method: str = "native",
                  layout: str = "NCHW",
+                 input_layout: str = "NCHW",
                  stem_s2d: bool = True,
                  stem_wh: Optional[bool] = None,
                  stem_nm: Optional[bool] = None,
@@ -649,6 +650,15 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     reciprocal when the input scale is a power of two
     (epilogue.exact_pow2_inv — bit-identical by construction) and
     divides otherwise.
+
+    ``input_layout="CHWN"`` takes the input as [3, H, W, N] — the
+    batch-minor layout the fused stem stages from natively, so the
+    XLA transpose+pad pre-op disappears (pad-free kernel schedule;
+    bit-exact, measured ~110 us at batch 128 —
+    tools/stem_stage_probe.py / stem_padfree_ab.py).  Production
+    ingest controls its own upload layout, so this is free at the
+    host boundary; non-fused fallback paths transpose back to NCHW
+    internally (correct for every geometry, pays one copy).
     ``residual_barrier`` puts an optimization barrier between each block's
     convs and its residual add, keeping the add out of the conv fusion.
 
@@ -882,10 +892,15 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                 interpret=interp)
 
     def forward(params: Dict[str, jnp.ndarray], x: jnp.ndarray):
-        s2d_ok = use_s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+        chwn = input_layout == "CHWN"
+        if chwn:
+            _, Hx, Wx, Nx = x.shape
+        else:
+            Nx, _, Hx, Wx = x.shape
+        s2d_ok = use_s2d and Hx % 2 == 0 and Wx % 2 == 0
         fused = (use_fused and x.dtype != jnp.int8
-                 and x.shape[0] > 0 and x.shape[0] % 128 == 0
-                 and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0
+                 and Nx > 0 and Nx % 128 == 0
+                 and Hx % 4 == 0 and Wx % 4 == 0
                  and (conv_routes or {}).get("stem") != "bf16")
         if fused:
             with jax.named_scope("stem.fused"):
@@ -898,9 +913,12 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                     model.s_input, interpret=interp,
                     stacked=(conv_routes or {}).get("stem")
                     == "fused-stacked",
+                    input_layout=input_layout,
                     quant_mode=(conv_routes or {}).get("stem_quant",
                                                        "auto"))
             return _trunk(params, a)
+        if chwn:
+            x = x.transpose(3, 0, 1, 2)       # fallback paths are NCHW
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
         nm = (use_nm and s2d_ok and x.dtype != jnp.int8
               and (interp or (x.shape[0] > 0 and x.shape[0] % 128 == 0)))

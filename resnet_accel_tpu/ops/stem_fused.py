@@ -58,6 +58,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RING = 7                      # lag-2 pipeline: rows 2g-6..2g live per step
+RING_PF = 8      # pad-free schedule: stage rows 2g,2g+1 / compute rows
+                 # 2g-4,2g-3 (same lag-2) — reads cover rows 2g-6..2g-2
+                 # which are mod-8 disjoint from the step's writes, so
+                 # ring 8 keeps staging data-disjoint from live dots
 NEG = -(2 ** 30)   # pool pad: never wins, +bias can't wrap (py int:
                    # a module-level jnp scalar would be a captured
                    # constant, which pallas kernels reject)
@@ -111,12 +115,23 @@ def pack_stem_weights_stacked(w2d, dtype=jnp.int8):
 def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             out_ref, ring_a, ring_b, carry, *scratch, nq: int,
             pooled: int, scale: float, stacked: bool, chunks: int = 4,
-            inv_scale=None, block_q: bool = False):
+            inv_scale=None, block_q: bool = False, pf: bool = False,
+            ring: int = RING):
     """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
     2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
     2p+1, int32 colmax pool fold, pooled row p) so the dots only read
     ring groups staged in EARLIER steps — the staging VPU work and the
-    MXU dots of a step are data-disjoint and can overlap."""
+    MXU dots of a step are data-disjoint and can overlap.
+
+    ``pf`` (pad-free): same grid, same lag-2, over the UNPADDED input
+    — step g stages s2d rows 2g, 2g+1 (image rows 4g..4g+3 = exactly
+    input block g, so no XLA pad copy is needed).  The top halo (s2d
+    rows -2, -1) reads the zero-initialized ring slots before any
+    staging reaches them; the bottom phantom row 2·pooled gets its
+    slot (and mirror) explicitly zeroed at step g == pooled, after its
+    last real writer and before its only reader.  ``ring`` must be
+    RING_PF: a step's reads (rows 2g-6..2g-2) and writes (2g, 2g+1)
+    are mod-8 disjoint, preserving the staging/compute overlap."""
     g = pl.program_id(1)
     lanes = nq * 128
     qbuf = scratch[0] if scratch else None
@@ -168,7 +183,8 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
                       planes_o.append(qo)
           e = jnp.stack(planes_e).reshape(12, lanes)
           o = jnp.stack(planes_o).reshape(12, lanes)
-          slot = jax.lax.rem(2 * g + r_off + 2 * RING, RING)
+          row = 2 * g + r_off + (1 if pf else 0)
+          slot = jax.lax.rem(row + 2 * ring, ring)
 
           def put(s):
               # ringA block j+2 = (E[j], O[j])
@@ -180,28 +196,46 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
 
           put(slot)
           # Partial mirror: a 4-group window (5 stacked) starting at
-          # slot <= RING-1 reaches at most slot RING+2 (RING+3), so
-          # only slots 0-2 (0-3) need the +RING copy — (RING+3)/(RING+4)
-          # groups instead of 2*RING keeps the kernel inside the 16 MB
+          # slot <= ring-1 reaches at most slot ring+2 (ring+3), so
+          # only slots 0-2 (0-3) need the +ring copy — (ring+3)/(ring+4)
+          # groups instead of 2*ring keeps the kernel inside the 16 MB
           # scoped-VMEM limit.
 
           @pl.when(slot < (4 if stacked else 3))
           def _mirror():
-              put(slot + RING)
+              put(slot + ring)
 
-    pl.when(g <= pooled)(_stage_body)
+    pl.when(g <= (pooled - 1 if pf else pooled))(_stage_body)
+
+    if pf:
+        # phantom bottom s2d row 2*pooled: its slot was last written by
+        # row 2*pooled - ring; zero it (and its mirror — windows that
+        # reach it always read through the mirror groups) before conv
+        # row 2*pooled - 1 consumes it as zero padding.
+        zs = (2 * pooled) % ring
+
+        @pl.when(g == pooled)
+        def _zero_phantom():
+            z = jnp.zeros((32, ring_a.shape[1]), jnp.int8)
+            ring_a[pl.ds(zs * 32, 32), :] = z
+            ring_b[pl.ds(zs * 32, 32), :] = z
+            if zs < 3:
+                ring_a[pl.ds((zs + ring) * 32, 32), :] = z
+                ring_b[pl.ds((zs + ring) * 32, 32), :] = z
+
+    lag = 2
 
     # ---- conv rows + pool fold ---------------------------------------
-    @pl.when(g >= 2)
+    @pl.when(g >= lag)
     def _compute():
-        @pl.when(g == 2)
+        @pl.when(g == lag)
         def _first():
             carry[...] = jnp.full_like(carry, NEG)  # conv row -1 = pad
 
         def colmax_of(h):
             """Conv row h as (even, odd-extended) dots, folded to the
             3-tap column max of the pool, int32 [64, nq*128]."""
-            first = jax.lax.rem(h - 2 + 2 * RING, RING)
+            first = jax.lax.rem(h - 2 + 2 * ring, ring)
             off_a = first * 32
             acc_e = jax.lax.dot_general(
                 wle_ref[:], ring_a[pl.ds(off_a, 128), 128:128 + lanes],
@@ -238,7 +272,7 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             # accumulators are ever live — the full-width [128, lanes]
             # accs of a naive formulation blow the scoped-VMEM budget
             # (caught by tools/aot_check.py, round 5).
-            first = jax.lax.rem(2 * g - 6 + 2 * RING, RING)
+            first = jax.lax.rem(2 * (g - lag) - 2 + 2 * ring, ring)
             off = first * 32
             nch = chunks if nq % chunks == 0 else (
                 4 if nq % 4 == 0 else (2 if nq % 2 == 0 else 1))
@@ -288,8 +322,8 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
                         q8[:, qb * 128:(qb + 1) * 128]
             return
 
-        cm0 = colmax_of(2 * g - 4)        # conv row 2p
-        cm1 = colmax_of(2 * g - 3)        # conv row 2p+1
+        cm0 = colmax_of(2 * (g - lag))      # conv row 2p
+        cm1 = colmax_of(2 * (g - lag) + 1)  # conv row 2p+1
         pooled_acc = jnp.maximum(jnp.maximum(carry[...], cm0), cm1)
         carry[...] = cm1
 
@@ -305,6 +339,7 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "stacked",
                                     "chunks", "quant_mode",
+                                    "input_layout", "padfree",
                                     "kernel_interpret"))
 def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       bias: jnp.ndarray, factors: jnp.ndarray,
@@ -313,6 +348,8 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       stacked: bool = False,
                       chunks: int = 4,
                       quant_mode: str = "auto",
+                      input_layout: str = "NCHW",
+                      padfree=None,
                       kernel_interpret: bool = False) -> jnp.ndarray:
     """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
     stem complex in one HBM pass (see module docstring).
@@ -337,20 +374,44 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     shipped route; stacked is kept behind the ``fused-stacked``
     route for A/B measurement.
 
+    ``padfree`` (default: on unless ``stacked``) uses the pad-free
+    staging schedule (see ``_kernel``): the XLA pad copy that
+    materialized the padded batch-minor input disappears, and with it
+    the whole pre-op — a pure transpose (NCHW) propagates into the
+    parameter layout instead of copying.  Measured on chip at batch
+    128: 543.0 -> 432.6 us standalone, bit-identical
+    (tools/stem_padfree_ab.py).  ``input_layout="CHWN"`` additionally
+    takes ``x`` as [3, H, W, N] — already batch-minor, the kernel's
+    native staging layout — so production ingest can upload straight
+    into the kernel's layout.  Both knobs are bit-exact: same
+    arithmetic, same output.
+
     In interpret mode (CPU) the identical arithmetic runs as the
     reference composition — the kernel is TPU-layout-specific.
     ``kernel_interpret=True`` instead runs the PALLAS KERNEL ITSELF
     under the interpreter (hermetic lowering-structure check; slow,
     test-only).
     """
-    N, C, H, W = x.shape
+    if input_layout not in ("NCHW", "CHWN"):
+        raise ValueError(f"unknown input_layout {input_layout!r}")
+    chwn = input_layout == "CHWN"
+    if chwn:
+        C, H, W, N = x.shape
+    else:
+        N, C, H, W = x.shape
     if C != 3 or N == 0 or N % 128 or H % 4 or W % 4:
         raise ValueError(f"unsupported stem geometry N={N} C={C} "
                          f"H={H} W={W}")
+    if padfree is None:
+        padfree = not stacked
+    if padfree and stacked:
+        raise ValueError("padfree does not support the stacked route")
     if interpret:
         from resnet_accel_tpu.ops.conv import conv2d_int8
         from resnet_accel_tpu.ops.pooling import maxpool2d_int8
         from resnet_accel_tpu.ops.stem_pack import quantize_s2d_nm
+        if chwn:
+            x = x.transpose(3, 0, 1, 2)
         s = quantize_s2d_nm(x, scale, interpret=True)
         a = conv2d_int8(s, w2d, bias=bias, kernel=4, stride=1,
                         padding=((2, 1), (2, 1)), factors=factors,
@@ -359,11 +420,15 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
 
     pooled, nq = H // 4, W // 4
     slabs = N // 128
-    # batch-minor view + 2-row zero pad top/bottom (conv rows -2/-1 and
-    # the bottom halo quantize from literal zeros = the conv's zero pad)
-    xt = x.transpose(1, 2, 3, 0)
-    xt = jnp.pad(xt, ((0, 0), (2, 2), (0, 0), (0, 0)))
-    xt = xt.reshape(3, pooled + 1, 4, W, N)
+    xt = x if chwn else x.transpose(1, 2, 3, 0)   # [3, H, W, N]
+    if padfree:
+        # pure reshape — H = 4*pooled exactly, no pad, no copy
+        xt = xt.reshape(3, pooled, 4, W, N)
+    else:
+        # 2-row zero pad top/bottom (conv rows -2/-1 and the bottom
+        # halo quantize from literal zeros = the conv's zero pad)
+        xt = jnp.pad(xt, ((0, 0), (2, 2), (0, 0), (0, 0)))
+        xt = xt.reshape(3, pooled + 1, 4, W, N)
 
     if stacked:
         wle, whe, wlo, who = pack_stem_weights_stacked(w2d)
@@ -393,15 +458,17 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     inv_scale = inv if quant_mode.endswith("inv") else None
     block_q = quant_mode.startswith("block")
 
-    nq_rows = pooled               # input groups 0..pooled
+    ring = RING_PF if padfree else RING
+    lag = 2
+    nq_rows = pooled - 1 if padfree else pooled   # last input group
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
                              scale=float(scale), stacked=stacked,
                              chunks=chunks, inv_scale=inv_scale,
-                             block_q=block_q)
+                             block_q=block_q, pf=padfree, ring=ring)
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,
-        grid=(slabs, pooled + 2),
+        grid=(slabs, pooled + lag),
         in_specs=[
             pl.BlockSpec((3, 1, 4, W, 128),
                          lambda b, g: (0, jnp.minimum(g, nq_rows), 0,
@@ -422,12 +489,12 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(
             (1, nq, 64, 128),
-            lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
+            lambda b, g: (jnp.maximum(g - lag, 0), 0, 0, b),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
-            pltpu.VMEM(((RING + ext) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM(((ring + ext) * 32, lanes_ring), jnp.int8),
+            pltpu.VMEM(((ring + ext) * 32, lanes_ring), jnp.int8),
             pltpu.VMEM((64, nq * 128), jnp.int32),
         ] + ([pltpu.VMEM((12, W, 128), jnp.int8)] if block_q else []),
         interpret=kernel_interpret,

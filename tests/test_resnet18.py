@@ -189,3 +189,39 @@ class TestEndToEnd:
         got = np.asarray(fwd(params_d, jnp.asarray(x)))
         exp = forward_golden(model, x)
         np.testing.assert_array_equal(got, exp)
+
+
+class TestInputLayoutCHWN:
+    def test_chwn_matches_nchw_fused_geometry(self):
+        """input_layout="CHWN" (batch-minor ingest + pad-free fused
+        stem) produces bit-identical logits to the NCHW path at a
+        fused-stem geometry (N%128==0, H%4==0)."""
+        params = init_resnet18_fp32(seed=2, num_classes=10,
+                                    small_input=False)
+        rng = np.random.default_rng(3)
+        calib = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(params, calib, 10, small_input=False)
+        x = rng.normal(0, 1, (128, 3, 32, 32)).astype(np.float32)
+        pd = model.as_device_params()
+        a = np.asarray(make_forward(model, use_pallas=False)(
+            pd, jnp.asarray(x)))
+        b = np.asarray(make_forward(model, use_pallas=False,
+                                    input_layout="CHWN")(
+            pd, jnp.asarray(x.transpose(1, 2, 3, 0))))
+        np.testing.assert_array_equal(a, b)
+
+    def test_chwn_matches_nchw_fallback_geometry(self):
+        """Non-fused geometries transpose back to NCHW internally."""
+        params = init_resnet18_fp32(seed=2, num_classes=10,
+                                    small_input=False)
+        rng = np.random.default_rng(4)
+        calib = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+        model = quantize_resnet18(params, calib, 10, small_input=False)
+        x = rng.normal(0, 1, (4, 3, 32, 32)).astype(np.float32)
+        pd = model.as_device_params()
+        a = np.asarray(make_forward(model, use_pallas=False)(
+            pd, jnp.asarray(x)))
+        b = np.asarray(make_forward(model, use_pallas=False,
+                                    input_layout="CHWN")(
+            pd, jnp.asarray(x.transpose(1, 2, 3, 0))))
+        np.testing.assert_array_equal(a, b)

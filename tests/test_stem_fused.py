@@ -208,3 +208,41 @@ def test_quant_mode_gate():
         stem_conv_pool_nm(*args, 0.05, quant_mode="inv")
     with pytest.raises(ValueError, match="quant_mode"):
         stem_conv_pool_nm(*args, 0.03125, quant_mode="nonsense")
+
+
+@pytest.mark.parametrize("H,W", [(16, 16), (16, 24), (32, 16)])
+def test_padfree_chwn_kernel_matches_golden(H, W):
+    """The pad-free staging schedule (ring 8, no XLA pad copy) and the
+    CHWN batch-minor ingest are bit-exact vs the golden composition —
+    top halo from zero-initialized slots, bottom phantom row from the
+    explicit zeroing step (every read goes through base or mirror
+    depending on geometry; both are covered by these shapes)."""
+    x, w2d, bias, factors, scale = _make_inputs(128, H, W, seed=11)
+    want = _golden_stem(x, w2d, bias, factors, scale)
+    xc = jnp.asarray(x.transpose(1, 2, 3, 0))
+    for kw, xx in ((dict(padfree=True), jnp.asarray(x)),
+                   (dict(padfree=True, input_layout="CHWN"), xc),
+                   (dict(input_layout="CHWN"), xc)):
+        got = np.asarray(stem_conv_pool_nm(
+            xx, jnp.asarray(w2d), jnp.asarray(bias),
+            jnp.asarray(factors), scale, kernel_interpret=True, **kw))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_padfree_window_algebra_vs_numpy_sim():
+    """The pf schedule writes/reads exactly the rows the padded
+    schedule does (same conv/pool output), checked on the numpy
+    window-algebra sim at ImageNet geometry."""
+    x, w2d, bias, factors, scale = _make_inputs(2, 224, 224, seed=12)
+    want = _golden_stem(x, w2d, bias, factors, scale)
+    got = _simulate_kernel(x, w2d, bias, factors, scale)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_padfree_stacked_rejected():
+    x = jnp.zeros((128, 3, 16, 16), jnp.float32)
+    with pytest.raises(ValueError, match="stacked"):
+        stem_conv_pool_nm(x, jnp.zeros((64, 192), jnp.int8),
+                          jnp.zeros(64, jnp.int32),
+                          jnp.ones(64, jnp.float32), 0.05,
+                          padfree=True, stacked=True)

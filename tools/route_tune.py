@@ -63,6 +63,7 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("l1bf16", {"conv_routes": {k: "bf16" for k in L1}}),
         ("l1nhwc", {"conv_routes": {k: "nhwc" for k in L1}}),
         ("stemstacked", {"conv_routes": {"stem": "fused-stacked"}}),
+        ("chwn", {"input_layout": "CHWN"}),
         ("stembf16", {"conv_routes": {"stem": "bf16"}}),
         ("stemxla", {"stem_nm": False, "stem_wh": False}),
         ("stemwh", {"stem_nm": False}),
@@ -135,13 +136,16 @@ def main(batch: int = 128, depth: int = 18) -> None:
     variants = [(n, kw) for n, kw in all_variants
                 if only is None or n in only or n == "base"]
 
+    xc = jnp.asarray(np.asarray(x).transpose(1, 2, 3, 0))
     ref = None
     for name, kw in variants:
         try:
             fwd = r18.make_forward(model, **kw)
-            agg, _ = xprof.profile_layers(lambda p, a: fwd(p, a), params, x)
+            xv = xc if kw.get("input_layout") == "CHWN" else x
+            agg, _ = xprof.profile_layers(lambda p, a: fwd(p, a),
+                                          params, xv)
             total = sum(agg.values())
-            out = np.asarray(jax.jit(fwd)(params, x))
+            out = np.asarray(jax.jit(fwd)(params, xv))
         except Exception as e:  # keep sweeping past a broken variant
             print(f"{name:16s} FAILED: {type(e).__name__}: {e}",
                   flush=True)

@@ -16,6 +16,11 @@ kernel by ablation, timing-only (outputs are garbage for all but
            56-sublane scratch instead of the (12, nq*128) lane-merged
            ring rows; dots kept (reading the zero ring).  full -
            nomerge ~= the sublane->lane merge + ring-write cost.
+- fullbig / nostagebig: same as full / nostage but the output block is
+           (1, 64, nq*128) written in ONE store per step instead of nq
+           [64, 128] lane-block slices — full - fullbig ~= the cost of
+           the 56-way out-write split (the consumer-side layout then
+           changes, so adopting it needs an in-model relayout A/B).
 
 Run: python tools/stem_stage_probe.py [N]
 """
@@ -97,7 +102,7 @@ def main(N=128):
               def _mirror():
                   put(slot + RING)
 
-        if mode != "nostage":
+        if mode not in ("nostage", "nostagebig"):
             pl.when(g <= pooled)(_stage_body)
 
         @pl.when(g >= 2)
@@ -151,8 +156,12 @@ def main(N=128):
             q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
                                    * f_ref[:, 0:1]),
                           -128, 127).astype(jnp.int8)
-            for qb in range(nq):
-                out_ref[0, qb, :, :] = q8[:, qb * 128:(qb + 1) * 128]
+            if mode in ("fullbig", "nostagebig"):
+                out_ref[0, :, :] = q8
+            else:
+                for qb in range(nq):
+                    out_ref[0, qb, :, :] = q8[:, qb * 128:(qb + 1)
+                                              * 128]
 
     def build(mode):
         nq_rows = pooled
@@ -160,6 +169,20 @@ def main(N=128):
         def run(x, wle, whe, wlo, who, b2, f2):
             kern = functools.partial(kernel, mode=mode)
             lanes_ring = (nq + 2) * 128
+            if mode in ("fullbig", "nostagebig"):
+                out_spec = pl.BlockSpec(
+                    (1, 64, nq * 128),
+                    lambda b, g: (jnp.maximum(g - 2, 0), 0, b),
+                    memory_space=pltpu.VMEM)
+                out_shape = jax.ShapeDtypeStruct(
+                    (pooled, 64, nq * N), jnp.int8)
+            else:
+                out_spec = pl.BlockSpec(
+                    (1, nq, 64, 128),
+                    lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
+                    memory_space=pltpu.VMEM)
+                out_shape = jax.ShapeDtypeStruct(
+                    (pooled, nq, 64, N), jnp.int8)
             return pl.pallas_call(
                 kern,
                 grid=(N // 128, pooled + 2),
@@ -172,12 +195,8 @@ def main(N=128):
                               memory_space=pltpu.VMEM)] * 4 +
                 [pl.BlockSpec((64, 1), lambda b, g: (0, 0),
                               memory_space=pltpu.VMEM)] * 2,
-                out_specs=pl.BlockSpec(
-                    (1, nq, 64, 128),
-                    lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
-                    memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N),
-                                               jnp.int8),
+                out_specs=out_spec,
+                out_shape=out_shape,
                 scratch_shapes=[
                     pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
                     pltpu.VMEM(((RING + 3) * 32, lanes_ring), jnp.int8),
@@ -202,7 +221,8 @@ def main(N=128):
         ws)).reshape(64, 1)
     f2 = jnp.asarray(requant_factors(scale, ws, 0.05)).reshape(64, 1)
 
-    for mode in ("full", "nodots", "nostage", "nomerge"):
+    for mode in ("full", "nodots", "nostage", "nomerge", "fullbig",
+                 "nostagebig"):
         try:
             def fn(xx, mode=mode):
                 with jax.named_scope("stem"):
