@@ -121,6 +121,7 @@ def main(N=128):
             def colmax_of(h):
                 first = jax.lax.rem(h - 2 + 2 * RING, RING)
                 off_a = first * 32
+                dus = (mode == "dus")
                 acc_e = jax.lax.dot_general(
                     wle_ref[:], ring_a[pl.ds(off_a, 128),
                                        128:128 + lanes],
@@ -141,9 +142,14 @@ def main(N=128):
                                        128:256 + lanes],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                t = jax.lax.broadcasted_iota(
-                    jnp.int32, (64, 128 + lanes), 1)
-                acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
+                if dus:
+                    acc_o = jax.lax.dynamic_update_slice(
+                        acc_o, jnp.full((64, 128), NEG, jnp.int32),
+                        (0, 0))
+                else:
+                    t = jax.lax.broadcasted_iota(
+                        jnp.int32, (64, 128 + lanes), 1)
+                    acc_o = jnp.where(t < 128, jnp.int32(NEG), acc_o)
                 return jnp.maximum(
                     jnp.maximum(acc_o[:, 0:lanes], acc_e),
                     acc_o[:, 128:128 + lanes])
@@ -221,8 +227,10 @@ def main(N=128):
         ws)).reshape(64, 1)
     f2 = jnp.asarray(requant_factors(scale, ws, 0.05)).reshape(64, 1)
 
-    for mode in ("full", "nodots", "nostage", "nomerge", "fullbig",
-                 "nostagebig"):
+    modes = (sys.argv[2].split(",") if len(sys.argv) > 2 else
+             ("full", "nodots", "nostage", "nomerge", "fullbig",
+              "nostagebig"))
+    for mode in modes:
         try:
             def fn(xx, mode=mode):
                 with jax.named_scope("stem"):
