@@ -624,6 +624,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  stem_nm: Optional[bool] = None,
                  stem_fused: Optional[bool] = None,
                  pm_trunk: Optional[bool] = None,
+                 bm_trunk: Optional[bool] = None,
                  conv_routes: Optional[Dict[str, str]] = None,
                  residual_barrier: bool = False,
                  expand_fused: Optional[bool] = None):
@@ -661,6 +662,14 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     internally (correct for every geometry, pays one copy).
     ``residual_barrier`` puts an optimization barrier between each block's
     convs and its residual add, keeping the add out of the conv fusion.
+
+    ``bm_trunk`` (default: on for the TPU backend) runs the 64-channel
+    basic blocks after the fused stem as batch-minor Mosaic convs
+    (ops/conv_bm.py): the stem emits row-vector activations, each
+    block's residual join fuses into its c2 epilogue, and the run's
+    last conv writes the XLA-consumable per-q-slice layout.  Bit-exact
+    (tests/test_conv_bm.py); measured on chip in
+    tools/conv_bm_probe.py / route_tune.py.
 
     ``expand_fused`` routes each bottleneck's c3 expansion AND its
     residual join through the one-pass Pallas kernel
@@ -746,6 +755,7 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         expand_fused = False
     use_expand = expand_fused
     interp = backend_mod.interpret_mode(backend)
+
 
     def run_stem_s2d(params, qc: QConv, x, mode: str):
         with jax.named_scope("stem"):
@@ -858,6 +868,33 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
     if pm_trunk is None:
         pm_trunk = False
     use_pm = pm_trunk and use_pallas and conv_method == "native"
+
+    # Batch-minor stage-1 trunk (ops/conv_bm.py): the 64-channel basic
+    # blocks after the fused stem run as Mosaic ring-staged convs on
+    # row-vector activations, with each block's residual join fused
+    # into its c2 epilogue — no merges, no relayouts; the run's last
+    # conv writes the XLA-consumable per-q-slice layout.  Bit-exact
+    # (tests/test_conv_bm.py; on-chip tools/conv_bm_probe.py).
+    if bm_trunk is None:
+        bm_trunk = on_tpu
+
+    def _bm_block_ok(blk):
+        if not isinstance(blk, QBlock):
+            return False
+        for qc in (blk.conv1, blk.conv2):
+            if (qc.bsr is not None or qc.kernel != 3 or qc.stride != 1
+                    or qc.padding != 1 or qc.in_channels != 64
+                    or qc.w2d.shape[0] != 64):
+                return False
+        return (blk.downsample is None and blk.conv1.relu
+                and not blk.conv2.relu)
+
+    bm_prefix = 0
+    if bm_trunk and use_fused and not use_pm:
+        for blk in model.blocks:
+            if not _bm_block_ok(blk):
+                break
+            bm_prefix += 1
     _PM_MAX_C = 64
 
     def _pm_block_ok(blk) -> bool:
@@ -903,6 +940,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                  and Hx % 4 == 0 and Wx % 4 == 0
                  and (conv_routes or {}).get("stem") != "bf16")
         if fused:
+            stacked_route = ((conv_routes or {}).get("stem")
+                             == "fused-stacked")
+            bm_run = bm_prefix if not stacked_route else 0
             with jax.named_scope("stem.fused"):
                 from resnet_accel_tpu.ops.stem_fused import \
                     stem_conv_pool_nm
@@ -911,12 +951,38 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
                 a = stem_conv_pool_nm(
                     x, w, params["stem.b"], params["stem.f"],
                     model.s_input, interpret=interp,
-                    stacked=(conv_routes or {}).get("stem")
-                    == "fused-stacked",
+                    stacked=stacked_route,
                     input_layout=input_layout,
+                    out_layout="rowvec" if bm_run else "nchw",
                     quant_mode=(conv_routes or {}).get("stem_quant",
                                                        "auto"))
-            return _trunk(params, a)
+            if not bm_run:
+                return _trunk(params, a)
+            # ---- batch-minor stage-1 run -----------------------------
+            from resnet_accel_tpu.ops import conv_bm
+            W_bm = a.shape[2] // Nx          # pooled width
+            for i in range(bm_run):
+                blk = model.blocks[i]
+                last = i == bm_run - 1
+                w9 = conv_bm.pack_weights_bm(params[f"b{i}.c1.w"], 64)
+                with jax.named_scope(f"b{i}.c1bm"):
+                    y = conv_bm.conv3x3_bm(
+                        a, w9, params[f"b{i}.c1.b"],
+                        params[f"b{i}.c1.f"], width=W_bm, relu=True,
+                        kernel_interpret=interp)
+                w9 = conv_bm.pack_weights_bm(params[f"b{i}.c2.w"], 64)
+                with jax.named_scope(f"b{i}.c2bm"):
+                    a = conv_bm.conv3x3_bm(
+                        y, w9, params[f"b{i}.c2.b"],
+                        params[f"b{i}.c2.f"], width=W_bm, relu=True,
+                        residual=a,
+                        res_scales=(blk.s_main, blk.s_res, blk.s_out,
+                                    inv_of[i]),
+                        out_layout="qslice" if last else "rowvec",
+                        kernel_interpret=interp)
+            # qslice (H', W', C, N) -> NCHW view, batch-minor physical
+            return _trunk(params, a.transpose(3, 2, 0, 1),
+                          start=bm_run)
         if chwn:
             x = x.transpose(3, 0, 1, 2)       # fallback paths are NCHW
         # nm needs full 128 lanes (its kernel gate); wh covers the rest.
@@ -937,9 +1003,9 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
         return _trunk(params, a, wh)
 
     def _trunk(params: Dict[str, jnp.ndarray], a: jnp.ndarray,
-               wh: bool = False):
+               wh: bool = False, start: int = 0):
         planes = None  # (even, odd) pm planes while inside a pm run
-        for i, blk in enumerate(model.blocks):
+        for i, blk in enumerate(model.blocks[start:], start=start):
             pm_ok = (use_pm and _pm_block_ok(blk)
                      and a.shape[0] % 128 == 0 and a.shape[2] % 2 == 0)
             if pm_ok:

@@ -1,0 +1,233 @@
+"""Batch-minor ring-staged 3x3 conv engine for the 64-channel stage.
+
+XLA's conv emitter caps the stage-1 (64-channel) convs at ~35% MXU
+utilization (C_out=64 fills half the output lanes; measured across
+every reformulation, docs/ARCHITECTURE.md §7), making b0/b1 the
+biggest post-stem sink of the INT8 ResNet forward (1072 us of 2697 at
+batch 128).  This engine runs those convs as Mosaic kernels in the
+fused stem's native activation layout:
+
+- **Row vectors**: activations live as [C=64, W*128] per image row —
+  lane = (w, n) batch-minor, exactly the stem kernel's ``fullbig``
+  output block (measured time-neutral to produce), so there is NO
+  sublane->lane merge anywhere in the pipeline.
+- **Row ring**: a 4-slot VMEM ring (write slot g, read slots
+  g-3..g-1 — mod-4 disjoint, so staging overlaps the dots) with
+  128-lane zero guards on both sides; kw taps are +-128-lane ref
+  windows of a slot, kh taps are ring slots.
+- **9 dots** [64, 64] @ [64, W*128] int8->int32 per output row, then
+  the golden bias/relu/requant epilogue — and optionally the FULL
+  residual join (dequant-add-requant + relu, golden ``add_residual``
+  semantics incl. the verified-reciprocal multiply) fused per row, so
+  a basic block's skip-add never round-trips HBM as a separate op.
+- The last conv of a batch-minor run writes the stem's per-q-slice
+  layout (``out_layout="qslice"``) — the layout XLA's conv emitter
+  consumes with no relayout — to hand the trunk back to XLA.
+
+Bit-exactness contract (tests/test_conv_bm.py): conv2d_int8(kernel=3,
+stride=1, padding=1) [+ epilogue.add_residual] per the reference
+semantics (golden_models.cpp:378-410 requantize, :465-495 residual
+add).  Measured on chip (tools/conv_bm_probe.py, batch 128 at 56x56):
+bit-exact, 198.5 us vs 248.7 us for the XLA emitter on the same int8
+input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RS = 4           # row ring slots: write g, read g-3..g-1 — disjoint
+GW = 128         # zero-guard lanes each side (the kw=+-1 halo)
+
+
+def rowvec_of_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, C, H, W] -> row-vector layout (H, C, N*W*? ) lane-blocked
+    slab-major: lane index = slab*W*128 + w*128 + n_in_slab."""
+    N, C, H, W = x.shape
+    s = N // 128
+    xt = x.transpose(2, 1, 3, 0).reshape(H, C, W, s, 128)
+    return xt.transpose(0, 1, 3, 2, 4).reshape(H, C, N * W)
+
+
+def nchw_of_rowvec(xr: jnp.ndarray, N: int) -> jnp.ndarray:
+    """Inverse of rowvec_of_nchw (test/debug helper)."""
+    H, C, _ = xr.shape
+    s = N // 128
+    W = xr.shape[2] // N
+    xt = xr.reshape(H, C, s, W, 128).transpose(0, 1, 3, 2, 4)
+    return xt.reshape(H, C, W, N).transpose(3, 1, 0, 2)
+
+
+def pack_weights_bm(w2d: jnp.ndarray, c_in: int) -> jnp.ndarray:
+    """[C_out, C_in*9] (QConv.w2d tap order c*9 + kh*3 + kw) ->
+    [9, C_out, C_in] dot matrices indexed kh*3 + kw."""
+    w4 = jnp.asarray(w2d).reshape(-1, c_in, 3, 3)
+    return w4.transpose(2, 3, 0, 1).reshape(9, w4.shape[0], c_in)
+
+
+def _kernel(x_ref, w_ref, b_ref, f_ref, *rest, H: int, lanes: int,
+            relu: bool, res: bool, scales, qslice: bool):
+    if res:
+        r_ref, out_ref, ring = rest
+    else:
+        out_ref, ring = rest
+    C = b_ref.shape[0]
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        ring[...] = jnp.zeros_like(ring)
+
+    @pl.when(g < H)
+    def _stage():
+        slot = jax.lax.rem(g, RS)
+        ring[pl.ds(slot * C, C), GW:GW + lanes] = x_ref[0]
+
+    @pl.when(g == H)
+    def _zero_bottom():
+        # phantom row H: its slot was last written by row H-4, whose
+        # final reader (row H-3) ran at step H-1
+        ring[pl.ds((H % RS) * C, C), :] = jnp.zeros(
+            (C, ring.shape[1]), jnp.int8)
+
+    @pl.when(g >= 2)
+    def _compute():
+        h = g - 2
+        acc = jnp.zeros((C, lanes), jnp.int32)
+        for kh in range(3):
+            sl = jax.lax.rem(h - 1 + kh + RS, RS)
+            for kw in range(3):
+                acc += jax.lax.dot_general(
+                    w_ref[kh * 3 + kw],
+                    ring[pl.ds(sl * C, C), kw * 128:kw * 128 + lanes],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        acc = acc + b_ref[:, 0:1]
+        if relu and not res:
+            acc = jnp.maximum(acc, 0)
+        q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32) * f_ref[:, 0:1]),
+                      -128, 127).astype(jnp.int8)
+        if res:
+            # golden add_residual: the conv requantizes WITHOUT relu
+            # (block conv2 semantics), then dequant both int8 paths to
+            # f32, add, requant (verified-reciprocal multiply when
+            # proven), clip, relu POST-add
+            s_main, s_res, s_out, inv = scales
+            m = q8.astype(jnp.float32) * jnp.float32(s_main)
+            rr = r_ref[0].astype(jnp.float32) * jnp.float32(s_res)
+            ss = m + rr
+            if inv is not None:
+                q = jnp.rint(ss * jnp.float32(inv))
+            else:
+                q = jnp.rint(ss / jnp.float32(s_out))
+            q = jnp.clip(q, -128, 127)
+            if relu:
+                q = jnp.maximum(q, 0)
+            q8 = q.astype(jnp.int8)
+        if qslice:
+            for w in range(lanes // 128):
+                out_ref[0, w, :, :] = q8[:, w * 128:(w + 1) * 128]
+        else:
+            out_ref[0] = q8
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "relu", "res_scales",
+                                    "out_layout", "kernel_interpret"))
+def conv3x3_bm(xr: jnp.ndarray, w9: jnp.ndarray, bias: jnp.ndarray,
+               factors: jnp.ndarray,
+               width: int,
+               relu: bool = True,
+               residual=None,
+               res_scales=None,
+               out_layout: str = "rowvec",
+               kernel_interpret: bool = False) -> jnp.ndarray:
+    """3x3/s1/p1 same-channel int8 conv on row-vector activations.
+
+    ``xr``: (H, C, N*W) int8 row vectors (rowvec_of_nchw layout,
+    slab-major; the fused stem emits it directly via
+    ``out_layout="rowvec"``).  ``width``: the spatial W (the grid
+    iterates batch slabs of W*128 lanes).  ``w9``: [9, C, C]
+    (pack_weights_bm), ``bias`` int32 [C], ``factors`` fp32 [C].
+    ``residual``: optional (H, C, N*W) int8 skip input with
+    ``res_scales=(s_main, s_res, s_out, inv_out)`` — the golden
+    add_residual join fused into the epilogue (``inv_out`` from
+    epilogue.exact_inv_out_scale or None; ``relu`` then applies POST
+    add, matching the block composition).  ``out_layout="qslice"``
+    writes (H, W, C, N) — the XLA-conv-consumable layout the fused
+    stem uses — for the run's exit conv.  CPU paths use the NCHW
+    composition instead (make_forward routes around this kernel);
+    ``kernel_interpret=True`` runs the kernel itself under the
+    interpreter for hermetic tests.
+    """
+    H, C, NW = xr.shape
+    lanes = width * 128
+    if NW % lanes:
+        raise ValueError(f"lane count {NW} not divisible by "
+                         f"width*128={lanes}")
+    nslab = NW // lanes
+    if out_layout not in ("rowvec", "qslice"):
+        raise ValueError(f"unknown out_layout {out_layout!r}")
+    if (residual is None) != (res_scales is None):
+        raise ValueError("residual and res_scales come together")
+
+    w9 = jnp.asarray(w9, jnp.int8)
+    b2 = jnp.asarray(bias, jnp.int32).reshape(C, 1)
+    f2 = jnp.asarray(factors, jnp.float32).reshape(C, 1)
+    res = residual is not None
+    scales = None
+    if res:
+        s_main, s_res, s_out, inv = res_scales
+        scales = (float(s_main), float(s_res), float(s_out),
+                  None if inv is None else float(inv))
+
+    qslice = out_layout == "qslice"
+    kern = functools.partial(_kernel, H=H, lanes=lanes, relu=relu,
+                             res=res, scales=scales, qslice=qslice)
+    in_specs = [
+        pl.BlockSpec((1, C, lanes), lambda b, g: (jnp.minimum(g, H - 1),
+                                                  0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, C, C), lambda b, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xr, w9, b2, f2]
+    if res:
+        in_specs.append(
+            pl.BlockSpec((1, C, lanes),
+                         lambda b, g: (jnp.maximum(g - 2, 0), 0, b),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+    if qslice:
+        out_spec = pl.BlockSpec(
+            (1, width, C, 128),
+            lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, width, C, nslab * 128),
+                                         jnp.int8)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, C, lanes), lambda b, g: (jnp.maximum(g - 2, 0), 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, C, NW), jnp.int8)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nslab, H + 2),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((RS * C, lanes + 2 * GW), jnp.int8),
+        ],
+        interpret=kernel_interpret,
+    )(*args)

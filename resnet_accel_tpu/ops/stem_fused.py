@@ -116,7 +116,7 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
             out_ref, ring_a, ring_b, carry, *scratch, nq: int,
             pooled: int, scale: float, stacked: bool, chunks: int = 4,
             inv_scale=None, block_q: bool = False, pf: bool = False,
-            ring: int = RING):
+            ring: int = RING, rowvec: bool = False):
     """Grid (batch_slabs, pooled+2).  Step g stages s2d rows 2g-1 and
     2g; the compute runs TWO steps behind (p = g-2: conv rows 2p and
     2p+1, int32 colmax pool fold, pooled row p) so the dots only read
@@ -332,15 +332,18 @@ def _kernel(x_ref, wle_ref, whe_ref, wlo_ref, who_ref, b_ref, f_ref,
         q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
                                * f_ref[:, 0:1]),
                       -128, 127).astype(jnp.int8)
-        for qb in range(nq):
-            out_ref[0, qb, :, :] = q8[:, qb * 128:(qb + 1) * 128]
+        if rowvec:
+            out_ref[0] = q8
+        else:
+            for qb in range(nq):
+                out_ref[0, qb, :, :] = q8[:, qb * 128:(qb + 1) * 128]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "stacked",
                                     "chunks", "quant_mode",
                                     "input_layout", "padfree",
-                                    "kernel_interpret"))
+                                    "out_layout", "kernel_interpret"))
 def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       bias: jnp.ndarray, factors: jnp.ndarray,
                       scale: float,
@@ -350,6 +353,7 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                       quant_mode: str = "auto",
                       input_layout: str = "NCHW",
                       padfree=None,
+                      out_layout: str = "nchw",
                       kernel_interpret: bool = False) -> jnp.ndarray:
     """[N, 3, H, W] fp32 -> [N, 64, H/4, W/4] int8: the whole ImageNet
     stem complex in one HBM pass (see module docstring).
@@ -406,6 +410,11 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
         padfree = not stacked
     if padfree and stacked:
         raise ValueError("padfree does not support the stacked route")
+    if out_layout not in ("nchw", "rowvec"):
+        raise ValueError(f"unknown out_layout {out_layout!r}")
+    if out_layout == "rowvec" and stacked:
+        raise ValueError("rowvec output not wired for the stacked "
+                         "route")
     if interpret:
         from resnet_accel_tpu.ops.conv import conv2d_int8
         from resnet_accel_tpu.ops.pooling import maxpool2d_int8
@@ -416,7 +425,11 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
         a = conv2d_int8(s, w2d, bias=bias, kernel=4, stride=1,
                         padding=((2, 1), (2, 1)), factors=factors,
                         relu=True, use_pallas=False, backend="cpu")
-        return maxpool2d_int8(a, 3, 2, padding=1)
+        a = maxpool2d_int8(a, 3, 2, padding=1)
+        if out_layout == "rowvec":
+            from resnet_accel_tpu.ops.conv_bm import rowvec_of_nchw
+            a = rowvec_of_nchw(a)
+        return a
 
     pooled, nq = H // 4, W // 4
     slabs = N // 128
@@ -461,10 +474,12 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
     ring = RING_PF if padfree else RING
     lag = 2
     nq_rows = pooled - 1 if padfree else pooled   # last input group
+    rowvec = out_layout == "rowvec"
     kern = functools.partial(_kernel, nq=nq, pooled=pooled,
                              scale=float(scale), stacked=stacked,
                              chunks=chunks, inv_scale=inv_scale,
-                             block_q=block_q, pf=padfree, ring=ring)
+                             block_q=block_q, pf=padfree, ring=ring,
+                             rowvec=rowvec)
     lanes_ring = (nq + 2) * 128
     out = pl.pallas_call(
         kern,
@@ -488,10 +503,15 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
+            (1, 64, nq * 128),
+            lambda b, g: (jnp.maximum(g - lag, 0), 0, b),
+            memory_space=pltpu.VMEM) if rowvec else pl.BlockSpec(
             (1, nq, 64, 128),
             lambda b, g: (jnp.maximum(g - lag, 0), 0, 0, b),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct(
+            (pooled, 64, nq * N), jnp.int8) if rowvec else
+        jax.ShapeDtypeStruct((pooled, nq, 64, N), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM(((ring + ext) * 32, lanes_ring), jnp.int8),
             pltpu.VMEM(((ring + ext) * 32, lanes_ring), jnp.int8),
@@ -499,4 +519,6 @@ def stem_conv_pool_nm(x: jnp.ndarray, w2d: jnp.ndarray,
         ] + ([pltpu.VMEM((12, W, 128), jnp.int8)] if block_q else []),
         interpret=kernel_interpret,
     )(xt, wle, whe, wlo, who, b2, f2)
+    if rowvec:
+        return out                        # (H', 64, W'*N) row vectors
     return out.transpose(3, 2, 0, 1)      # NCHW view, batch-minor phys

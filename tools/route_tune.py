@@ -64,6 +64,7 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("l1nhwc", {"conv_routes": {k: "nhwc" for k in L1}}),
         ("stemstacked", {"conv_routes": {"stem": "fused-stacked"}}),
         ("chwn", {"input_layout": "CHWN"}),
+        ("nobm", {"bm_trunk": False}),
         ("stembf16", {"conv_routes": {"stem": "bf16"}}),
         ("stemxla", {"stem_nm": False, "stem_wh": False}),
         ("stemwh", {"stem_nm": False}),
