@@ -961,24 +961,41 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             # ---- batch-minor stage-1 run -----------------------------
             from resnet_accel_tpu.ops import conv_bm
             W_bm = a.shape[2] // Nx          # pooled width
+            # default split (two kernels per block): the whole-block
+            # fused kernel measures a statistical tie (500/504 us vs
+            # 195+305 split, tools/route_tune.py bmsplit) — the HBM
+            # round-trips it removes were already hidden under compute
+            # — so the simpler form ships and the block kernel stays
+            # behind {"bm": "block"} for future hardware
+            bm_block = (conv_routes or {}).get("bm") == "block"
             for i in range(bm_run):
                 blk = model.blocks[i]
                 last = i == bm_run - 1
-                w9 = conv_bm.pack_weights_bm(params[f"b{i}.c1.w"], 64)
+                out_l = "qslice" if last else "rowvec"
+                rs = (blk.s_main, blk.s_res, blk.s_out, inv_of[i])
+                w91 = conv_bm.pack_weights_bm(params[f"b{i}.c1.w"], 64)
+                w92 = conv_bm.pack_weights_bm(params[f"b{i}.c2.w"], 64)
+                if bm_block:
+                    # whole block in one pass: c1's activation stays in
+                    # VMEM, the residual is re-read from the input ring
+                    with jax.named_scope(f"b{i}.bm"):
+                        a = conv_bm.block3x3_bm(
+                            a, w91, params[f"b{i}.c1.b"],
+                            params[f"b{i}.c1.f"], w92,
+                            params[f"b{i}.c2.b"], params[f"b{i}.c2.f"],
+                            width=W_bm, res_scales=rs, out_layout=out_l,
+                            kernel_interpret=interp)
+                    continue
                 with jax.named_scope(f"b{i}.c1bm"):
                     y = conv_bm.conv3x3_bm(
-                        a, w9, params[f"b{i}.c1.b"],
+                        a, w91, params[f"b{i}.c1.b"],
                         params[f"b{i}.c1.f"], width=W_bm, relu=True,
                         kernel_interpret=interp)
-                w9 = conv_bm.pack_weights_bm(params[f"b{i}.c2.w"], 64)
                 with jax.named_scope(f"b{i}.c2bm"):
                     a = conv_bm.conv3x3_bm(
-                        y, w9, params[f"b{i}.c2.b"],
+                        y, w92, params[f"b{i}.c2.b"],
                         params[f"b{i}.c2.f"], width=W_bm, relu=True,
-                        residual=a,
-                        res_scales=(blk.s_main, blk.s_res, blk.s_out,
-                                    inv_of[i]),
-                        out_layout="qslice" if last else "rowvec",
+                        residual=a, res_scales=rs, out_layout=out_l,
                         kernel_interpret=interp)
             # qslice (H', W', C, N) -> NCHW view, batch-minor physical
             return _trunk(params, a.transpose(3, 2, 0, 1),

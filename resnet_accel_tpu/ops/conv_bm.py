@@ -231,3 +231,162 @@ def conv3x3_bm(xr: jnp.ndarray, w9: jnp.ndarray, bias: jnp.ndarray,
         ],
         interpret=kernel_interpret,
     )(*args)
+
+
+RSX = 5          # block kernel input ring: write g, read g-4..g-1
+RSY = 4          # c1->c2 mid ring: write g-2, read g-5..g-3
+
+
+def _block_kernel(x_ref, w1_ref, b1_ref, f1_ref, w2_ref, b2_ref,
+                  f2_ref, out_ref, ring_x, ring_y, *, H: int,
+                  lanes: int, scales, qslice: bool):
+    C = b1_ref.shape[0]
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        ring_x[...] = jnp.zeros_like(ring_x)
+        ring_y[...] = jnp.zeros_like(ring_y)
+
+    @pl.when(g < H)
+    def _stage():
+        slot = jax.lax.rem(g, RSX)
+        ring_x[pl.ds(slot * C, C), GW:GW + lanes] = x_ref[0]
+
+    @pl.when(g == H)
+    def _zero_x():
+        ring_x[pl.ds((H % RSX) * C, C), :] = jnp.zeros(
+            (C, ring_x.shape[1]), jnp.int8)
+
+    def conv(ring, rs, h, w_ref):
+        acc = jnp.zeros((C, lanes), jnp.int32)
+        for kh in range(3):
+            sl = jax.lax.rem(h - 1 + kh + rs, rs)
+            for kw in range(3):
+                acc += jax.lax.dot_general(
+                    w_ref[kh * 3 + kw],
+                    ring[pl.ds(sl * C, C), kw * 128:kw * 128 + lanes],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        return acc
+
+    @pl.when((g >= 2) & (g <= H + 1))
+    def _c1():
+        h = g - 2
+        acc = jnp.maximum(conv(ring_x, RSX, h, w1_ref)
+                          + b1_ref[:, 0:1], 0)
+        q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
+                               * f1_ref[:, 0:1]),
+                      -128, 127).astype(jnp.int8)
+        ring_y[pl.ds(jax.lax.rem(h, RSY) * C, C), GW:GW + lanes] = q8
+
+    @pl.when(g == H + 2)
+    def _zero_y():
+        ring_y[pl.ds((H % RSY) * C, C), :] = jnp.zeros(
+            (C, ring_y.shape[1]), jnp.int8)
+
+    @pl.when(g >= 4)
+    def _c2():
+        h = g - 4
+        acc = conv(ring_y, RSY, h, w2_ref) + b2_ref[:, 0:1]
+        q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
+                               * f2_ref[:, 0:1]),
+                      -128, 127).astype(jnp.int8)
+        s_main, s_res, s_out, inv = scales
+        m = q8.astype(jnp.float32) * jnp.float32(s_main)
+        r = ring_x[pl.ds(jax.lax.rem(h + RSX, RSX) * C, C),
+                   GW:GW + lanes]
+        rr = r.astype(jnp.float32) * jnp.float32(s_res)
+        ss = m + rr
+        if inv is not None:
+            q = jnp.rint(ss * jnp.float32(inv))
+        else:
+            q = jnp.rint(ss / jnp.float32(s_out))
+        q = jnp.maximum(jnp.clip(q, -128, 127), 0).astype(jnp.int8)
+        if qslice:
+            for w in range(lanes // 128):
+                out_ref[0, w, :, :] = q[:, w * 128:(w + 1) * 128]
+        else:
+            out_ref[0] = q
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "res_scales", "out_layout",
+                                    "kernel_interpret"))
+def block3x3_bm(xr: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                f1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+                f2: jnp.ndarray, width: int, res_scales,
+                out_layout: str = "rowvec",
+                kernel_interpret: bool = False) -> jnp.ndarray:
+    """A whole 64-channel basic block (c1 -> c2 -> residual join) in
+    ONE Mosaic pass: c1's output lives only in a VMEM ring (never
+    touches HBM), and the residual is read back from the INPUT ring —
+    per block that removes c1's 26 MB write, c2's 26 MB read and the
+    26 MB residual re-read (batch 128 at 56x56).  Same row-vector
+    layout and golden semantics as conv3x3_bm; the c2 ring lags c1 by
+    two rows and c1 lags the input staging by two, so every ring's
+    writes stay mod-RS disjoint from its readers.
+
+    ``res_scales=(s_main, s_res, s_out, inv_out)``; c1 applies relu
+    pre-requant (block conv1), c2 requantizes without relu and joins
+    with post-add relu (block composition in make_forward._trunk).
+    """
+    H, C, NW = xr.shape
+    lanes = width * 128
+    if NW % lanes:
+        raise ValueError(f"lane count {NW} not divisible by "
+                         f"width*128={lanes}")
+    nslab = NW // lanes
+    if out_layout not in ("rowvec", "qslice"):
+        raise ValueError(f"unknown out_layout {out_layout!r}")
+    s_main, s_res, s_out, inv = res_scales
+    scales = (float(s_main), float(s_res), float(s_out),
+              None if inv is None else float(inv))
+    qslice = out_layout == "qslice"
+
+    kern = functools.partial(_block_kernel, H=H, lanes=lanes,
+                             scales=scales, qslice=qslice)
+    if qslice:
+        out_spec = pl.BlockSpec(
+            (1, width, C, 128),
+            lambda b, g: (jnp.maximum(g - 4, 0), 0, 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, width, C, nslab * 128),
+                                         jnp.int8)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, C, lanes), lambda b, g: (jnp.maximum(g - 4, 0), 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, C, NW), jnp.int8)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nslab, H + 4),
+        in_specs=[
+            pl.BlockSpec((1, C, lanes),
+                         lambda b, g: (jnp.minimum(g, H - 1), 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, C, C), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, C, C), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((RSX * 64, lanes + 2 * GW), jnp.int8),
+            pltpu.VMEM((RSY * 64, lanes + 2 * GW), jnp.int8),
+        ],
+        interpret=kernel_interpret,
+    )(xr, w1, jnp.asarray(b1, jnp.int32).reshape(-1, 1),
+      jnp.asarray(f1, jnp.float32).reshape(-1, 1), w2,
+      jnp.asarray(b2, jnp.int32).reshape(-1, 1),
+      jnp.asarray(f2, jnp.float32).reshape(-1, 1))

@@ -131,3 +131,39 @@ def test_bm_trunk_in_model_matches_base():
                                  stem_fused=True, bm_trunk=True)(
         pd, jnp.asarray(x)))
     np.testing.assert_array_equal(bm, base)
+
+
+def test_block_kernel_matches_composition():
+    """block3x3_bm (c1 -> c2 -> join in one pass, c1 out never in HBM)
+    == conv(c1,relu) -> conv(c2) -> add_residual, divide and proven-
+    reciprocal variants."""
+    from resnet_accel_tpu.ops.conv_bm import block3x3_bm
+    from resnet_accel_tpu.ops.epilogue import exact_inv_out_scale
+
+    x, w2d1, b1, f1 = _mk(seed=8)
+    _, w2d2, b2, f2 = _mk(seed=9)
+    s_main, s_res, s_out = 0.13, 0.06, 0.17
+    y1 = _golden(x, w2d1, b1, f1, relu=True)
+    y2 = _golden(y1, w2d2, b2, f2, relu=False)
+    want = np.asarray(add_residual(
+        jnp.asarray(y2), jnp.asarray(x), s_main, s_res, s_out,
+        relu=True))
+    xr = rowvec_of_nchw(jnp.asarray(x))
+    w91 = pack_weights_bm(w2d1, C)
+    w92 = pack_weights_bm(w2d2, C)
+    proof = exact_inv_out_scale(s_main, s_res, s_out)
+    for inv in [None] + ([proof] if proof is not None else []):
+        out = block3x3_bm(xr, w91, jnp.asarray(b1), jnp.asarray(f1),
+                          w92, jnp.asarray(b2), jnp.asarray(f2),
+                          width=8, res_scales=(s_main, s_res, s_out,
+                                               inv),
+                          kernel_interpret=True)
+        got = np.asarray(nchw_of_rowvec(out, 128))
+        np.testing.assert_array_equal(got, want)
+    # qslice exit layout
+    qs = block3x3_bm(xr, w91, jnp.asarray(b1), jnp.asarray(f1),
+                     w92, jnp.asarray(b2), jnp.asarray(f2),
+                     width=8, res_scales=(s_main, s_res, s_out, None),
+                     out_layout="qslice", kernel_interpret=True)
+    np.testing.assert_array_equal(np.asarray(qs.transpose(3, 2, 0, 1)),
+                                  want)

@@ -65,6 +65,7 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("stemstacked", {"conv_routes": {"stem": "fused-stacked"}}),
         ("chwn", {"input_layout": "CHWN"}),
         ("nobm", {"bm_trunk": False}),
+        ("bmblock", {"conv_routes": {"bm": "block"}}),
         ("stembf16", {"conv_routes": {"stem": "bf16"}}),
         ("stemxla", {"stem_nm": False, "stem_wh": False}),
         ("stemwh", {"stem_nm": False}),
