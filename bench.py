@@ -31,8 +31,14 @@ REFERENCE_IMAGES_PER_S = 137.0
 # measured sweet spot: +8% vs 256, B=64 collapses (see docs); the env
 # override is for sweep experiments only — the headline is batch 128.
 BATCH = int(os.environ.get("RAT_BENCH_BATCH", "128"))
-CHAIN = int(os.environ.get("RAT_BENCH_CHAIN", "32"))
-ITERS = 9
+# CHAIN sets the device work per timed call (~2.6 ms/forward).  32 was
+# enough when tunnel RTT jitter was ~1 ms; round-5 sessions measured
+# multi-ms jitter swings that put +-10% on the pair differences at 32
+# (device-time xprof stayed stable to 0.1%, so the spread was pure
+# measurement).  96 gives ~250 ms of device work per chain call — the
+# same basis, 3x less jitter share, ~2 s more wall time total.
+CHAIN = int(os.environ.get("RAT_BENCH_CHAIN", "96"))
+ITERS = 11
 
 
 def _require_tpu(timeout_s: int = 300):

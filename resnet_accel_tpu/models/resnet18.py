@@ -967,12 +967,33 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             # round-trips it removes were already hidden under compute
             # — so the simpler form ships and the block kernel stays
             # behind {"bm": "block"} for future hardware
-            bm_block = (conv_routes or {}).get("bm") == "block"
+            bm_route = (conv_routes or {}).get("bm")
+            bm_block = bm_route == "block"
+            bm_stacked = (bm_route == "stacked"
+                          and a.shape[0] % 2 == 0)
             for i in range(bm_run):
                 blk = model.blocks[i]
                 last = i == bm_run - 1
                 out_l = "qslice" if last else "rowvec"
                 rs = (blk.s_main, blk.s_res, blk.s_out, inv_of[i])
+                if bm_stacked:
+                    # row-pair M=128 dots (A/B route; see conv_bm)
+                    w31 = conv_bm.pack_weights_bm_stacked(
+                        params[f"b{i}.c1.w"], 64)
+                    w32 = conv_bm.pack_weights_bm_stacked(
+                        params[f"b{i}.c2.w"], 64)
+                    with jax.named_scope(f"b{i}.c1bms"):
+                        y = conv_bm.conv3x3_bm_stacked(
+                            a, w31, params[f"b{i}.c1.b"],
+                            params[f"b{i}.c1.f"], width=W_bm,
+                            relu=True, kernel_interpret=interp)
+                    with jax.named_scope(f"b{i}.c2bms"):
+                        a = conv_bm.conv3x3_bm_stacked(
+                            y, w32, params[f"b{i}.c2.b"],
+                            params[f"b{i}.c2.f"], width=W_bm,
+                            relu=True, residual=a, res_scales=rs,
+                            out_layout=out_l, kernel_interpret=interp)
+                    continue
                 w91 = conv_bm.pack_weights_bm(params[f"b{i}.c1.w"], 64)
                 w92 = conv_bm.pack_weights_bm(params[f"b{i}.c2.w"], 64)
                 if bm_block:

@@ -4,6 +4,11 @@ from resnet_accel_tpu.ops.matmul_int8 import matmul_int8, matmul_int8_xla
 from resnet_accel_tpu.ops.conv import conv2d_int8, im2col_nchw
 from resnet_accel_tpu.ops.flash_attention import flash_attention
 from resnet_accel_tpu.ops.expand_fused import expand_add_int8
+from resnet_accel_tpu.ops.conv_bm import (conv3x3_bm, block3x3_bm,
+                                          rowvec_of_nchw,
+                                          nchw_of_rowvec,
+                                          pack_weights_bm)
+from resnet_accel_tpu.ops.epilogue import exact_pow2_inv, pow2_scale
 from resnet_accel_tpu.ops.pooling import maxpool2d_int8, avgpool_global_int8
 from resnet_accel_tpu.ops.epilogue import (
     requantize,
@@ -35,4 +40,11 @@ __all__ = [
     "relu6_int8",
     "quantize_input",
     "dequantize_output",
+    "conv3x3_bm",
+    "block3x3_bm",
+    "rowvec_of_nchw",
+    "nchw_of_rowvec",
+    "pack_weights_bm",
+    "exact_pow2_inv",
+    "pow2_scale",
 ]

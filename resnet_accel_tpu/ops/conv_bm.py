@@ -390,3 +390,186 @@ def block3x3_bm(xr: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
       jnp.asarray(f1, jnp.float32).reshape(-1, 1), w2,
       jnp.asarray(b2, jnp.int32).reshape(-1, 1),
       jnp.asarray(f2, jnp.float32).reshape(-1, 1))
+
+
+RSP = 7          # stacked ring: write rows 2g,2g+1; read 2g-5..2g-2
+MIR = 3          # mirrored slots (4-slot windows never wrap)
+
+
+def pack_weights_bm_stacked(w2d: jnp.ndarray, c_in: int) -> jnp.ndarray:
+    """[C_out, C_in*9] -> [3, 2*C_out, 4*C_in] row-pair dot matrices
+    (index kw).  Out row 2p reads x rows 2p-1..2p+1 = window blocks
+    0..2; row 2p+1 reads 2p..2p+2 = blocks 1..3 — the stacked weight is
+    block-shift-diagonal with ALIGNED 64-sublane blocks (the stem's
+    stacked variant lost to its unaligned 160-sublane windows; this
+    one stays on Mosaic's aligned paths)."""
+    w4 = jnp.asarray(w2d).reshape(-1, c_in, 3, 3)
+    O = w4.shape[0]
+    mats = []
+    for kw in range(3):
+        m = jnp.zeros((2 * O, 4 * c_in), w4.dtype)
+        for kh in range(3):
+            blk = w4[:, :, kh, kw]
+            m = m.at[:O, kh * c_in:(kh + 1) * c_in].set(blk)
+            m = m.at[O:, (kh + 1) * c_in:(kh + 2) * c_in].set(blk)
+        mats.append(m)
+    return jnp.stack(mats)
+
+
+def _kernel_st(x_ref, w_ref, b_ref, f_ref, *rest, H: int, lanes: int,
+               relu: bool, res: bool, scales, qslice: bool):
+    if res:
+        r_ref, out_ref, ring = rest
+    else:
+        out_ref, ring = rest
+    C = b_ref.shape[0] // 2
+    g = pl.program_id(1)
+    half = H // 2
+
+    @pl.when(g == 0)
+    def _init():
+        ring[...] = jnp.zeros_like(ring)
+
+    @pl.when(g <= half - 1)
+    def _stage():
+        for li in range(2):
+            slot = jax.lax.rem(2 * g + li, RSP)
+            ring[pl.ds(slot * C, C), GW:GW + lanes] = x_ref[li]
+
+            @pl.when(slot < MIR)
+            def _mirror():
+                ring[pl.ds((slot + RSP) * C, C),
+                     GW:GW + lanes] = x_ref[li]
+
+    @pl.when(g == half)
+    def _zero_bottom():
+        zs = H % RSP
+        z = jnp.zeros((C, ring.shape[1]), jnp.int8)
+        ring[pl.ds(zs * C, C), :] = z
+        if H % RSP < MIR:
+            ring[pl.ds((zs + RSP) * C, C), :] = z
+
+    @pl.when(g >= 2)
+    def _compute():
+        p = g - 2
+        start = jax.lax.rem(2 * p - 1 + RSP, RSP)
+        acc = jnp.zeros((2 * C, lanes), jnp.int32)
+        for kw in range(3):
+            acc += jax.lax.dot_general(
+                w_ref[kw],
+                ring[pl.ds(start * C, 4 * C),
+                     kw * 128:kw * 128 + lanes],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        acc = acc + b_ref[:, 0:1]
+        if relu and not res:
+            acc = jnp.maximum(acc, 0)
+        q8 = jnp.clip(jnp.rint(acc.astype(jnp.float32)
+                               * f_ref[:, 0:1]),
+                      -128, 127).astype(jnp.int8)
+        if res:
+            s_main, s_res, s_out, inv = scales
+            r = jnp.concatenate([r_ref[0], r_ref[1]], axis=0)
+            m = q8.astype(jnp.float32) * jnp.float32(s_main)
+            rr = r.astype(jnp.float32) * jnp.float32(s_res)
+            ss = m + rr
+            if inv is not None:
+                q = jnp.rint(ss * jnp.float32(inv))
+            else:
+                q = jnp.rint(ss / jnp.float32(s_out))
+            q = jnp.clip(q, -128, 127)
+            if relu:
+                q = jnp.maximum(q, 0)
+            q8 = q.astype(jnp.int8)
+        if qslice:
+            nq = lanes // 128
+            for w in range(nq):
+                out_ref[0, w, :, :] = q8[0:C, w * 128:(w + 1) * 128]
+                out_ref[1, w, :, :] = q8[C:, w * 128:(w + 1) * 128]
+        else:
+            out_ref[0] = q8[0:C]
+            out_ref[1] = q8[C:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "relu", "res_scales",
+                                    "out_layout", "kernel_interpret"))
+def conv3x3_bm_stacked(xr: jnp.ndarray, w3: jnp.ndarray,
+                       bias: jnp.ndarray, factors: jnp.ndarray,
+                       width: int, relu: bool = True,
+                       residual=None, res_scales=None,
+                       out_layout: str = "rowvec",
+                       kernel_interpret: bool = False) -> jnp.ndarray:
+    """Row-pair stacked variant of conv3x3_bm: both output rows of a
+    pair in ONE M=128 dot per kw against a 4-slot (256-sublane,
+    aligned) staged window — 768 streamed K-cycles per pair vs 1152
+    for the 18 half-occupancy K=64 dots.  Same contract and layouts as
+    conv3x3_bm; requires even H.  The residual arrives as its own
+    row-pair block input, joined in the epilogue exactly as in
+    conv3x3_bm.
+    """
+    H, C, NW = xr.shape
+    lanes = width * 128
+    if NW % lanes:
+        raise ValueError(f"lane count {NW} not divisible by "
+                         f"width*128={lanes}")
+    if H % 2:
+        raise ValueError("stacked bm conv needs even H")
+    nslab = NW // lanes
+    if out_layout not in ("rowvec", "qslice"):
+        raise ValueError(f"unknown out_layout {out_layout!r}")
+    if (residual is None) != (res_scales is None):
+        raise ValueError("residual and res_scales come together")
+    res = residual is not None
+    scales = None
+    if res:
+        s_main, s_res, s_out, inv = res_scales
+        scales = (float(s_main), float(s_res), float(s_out),
+                  None if inv is None else float(inv))
+    b2 = jnp.tile(jnp.asarray(bias, jnp.int32), 2).reshape(2 * C, 1)
+    f2 = jnp.tile(jnp.asarray(factors, jnp.float32),
+                  2).reshape(2 * C, 1)
+    qslice = out_layout == "qslice"
+    kern = functools.partial(_kernel_st, H=H, lanes=lanes, relu=relu,
+                             res=res, scales=scales, qslice=qslice)
+    in_specs = [
+        pl.BlockSpec((2, C, lanes),
+                     lambda b, g: (jnp.minimum(g, H // 2 - 1), 0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 2 * C, 4 * C), lambda b, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * C, 1), lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * C, 1), lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xr, jnp.asarray(w3, jnp.int8), b2, f2]
+    if res:
+        in_specs.append(
+            pl.BlockSpec((2, C, lanes),
+                         lambda b, g: (jnp.maximum(g - 2, 0), 0, b),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+    if qslice:
+        out_spec = pl.BlockSpec(
+            (2, width, C, 128),
+            lambda b, g: (jnp.maximum(g - 2, 0), 0, 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, width, C, nslab * 128),
+                                         jnp.int8)
+    else:
+        out_spec = pl.BlockSpec(
+            (2, C, lanes), lambda b, g: (jnp.maximum(g - 2, 0), 0, b),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((H, C, NW), jnp.int8)
+    return pl.pallas_call(
+        kern,
+        grid=(nslab, H // 2 + 2),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(((RSP + MIR) * 64, lanes + 2 * GW), jnp.int8),
+        ],
+        interpret=kernel_interpret,
+    )(*args)

@@ -113,10 +113,18 @@ def exact_inv_out_scale(
     m = y * np.float32(main_scale)
     r = y * np.float32(residual_scale)
     s = m[:, None] + r[None, :]
-    inv = np.float32(1.0) / np.float32(out_scale)
     qd = np.clip(np.rint(s / np.float32(out_scale)), -128, 127)
-    qm = np.clip(np.rint(s * inv), -128, 127)
-    return float(inv) if np.array_equal(qd, qm) else None
+    inv0 = np.float32(1.0) / np.float32(out_scale)
+    # the rounded reciprocal is not always the candidate that matches
+    # the divide on every reachable pair — its 1-ulp neighbours can be
+    # (round 5): trying all three roughly doubles proof coverage, and
+    # any candidate that passes the exhaustive check is equally valid
+    for inv in (inv0, np.nextafter(inv0, np.float32(0), dtype=np.float32),
+                np.nextafter(inv0, np.float32(np.inf), dtype=np.float32)):
+        qm = np.clip(np.rint(s * inv), -128, 127)
+        if np.array_equal(qd, qm):
+            return float(inv)
+    return None
 
 
 def exact_pow2_inv(scale: float) -> Optional[float]:

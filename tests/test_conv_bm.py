@@ -114,7 +114,15 @@ def test_gates():
 def test_bm_trunk_in_model_matches_base():
     """make_forward(bm_trunk=True): fused stem (rowvec) -> batch-minor
     b0/b1 with fused residual joins -> qslice handoff, logits
-    bit-identical to the reference composition."""
+    bit-identical to the reference composition.
+
+    Both forwards are jitted (the canonical usage): a traced constant
+    divide and an eager divide can differ by 1 ulp at rint-tie inputs
+    (XLA strength-reduces x/const to a reciprocal multiply; the TPU's
+    f32 divide is itself a reciprocal sequence — see
+    docs/ARCHITECTURE.md "division semantics"), so mixing eager and
+    traced paths is NOT the contract."""
+    import jax
     from resnet_accel_tpu.models.resnet18 import (init_resnet18_fp32,
                                                   make_forward,
                                                   quantize_resnet18)
@@ -125,10 +133,13 @@ def test_bm_trunk_in_model_matches_base():
     model = quantize_resnet18(params, calib, 10, small_input=False)
     x = rng.normal(0, 1, (128, 3, 32, 32)).astype(np.float32)
     pd = model.as_device_params()
-    base = np.asarray(make_forward(model, use_pallas=False,
-                                   backend="cpu")(pd, jnp.asarray(x)))
-    bm = np.asarray(make_forward(model, use_pallas=False, backend="cpu",
-                                 stem_fused=True, bm_trunk=True)(
+    base = np.asarray(jax.jit(make_forward(model, use_pallas=False,
+                                           backend="cpu"))(
+        pd, jnp.asarray(x)))
+    bm = np.asarray(jax.jit(make_forward(model, use_pallas=False,
+                                         backend="cpu",
+                                         stem_fused=True,
+                                         bm_trunk=True))(
         pd, jnp.asarray(x)))
     np.testing.assert_array_equal(bm, base)
 
@@ -167,3 +178,81 @@ def test_block_kernel_matches_composition():
                      out_layout="qslice", kernel_interpret=True)
     np.testing.assert_array_equal(np.asarray(qs.transpose(3, 2, 0, 1)),
                                   want)
+
+
+def test_stacked_pack_layout():
+    from resnet_accel_tpu.ops.conv_bm import pack_weights_bm_stacked
+    w2d = (np.arange(C * C * 9).reshape(C, C * 9) % 127).astype(np.int8)
+    w4 = w2d.reshape(C, C, 3, 3)
+    w3 = np.asarray(pack_weights_bm_stacked(w2d, C))
+    assert w3.shape == (3, 2 * C, 4 * C)
+    for kw in range(3):
+        for kh in range(3):
+            np.testing.assert_array_equal(
+                w3[kw, :C, kh * C:(kh + 1) * C], w4[:, :, kh, kw])
+            np.testing.assert_array_equal(
+                w3[kw, C:, (kh + 1) * C:(kh + 2) * C], w4[:, :, kh, kw])
+        np.testing.assert_array_equal(w3[kw, :C, 3 * C:], 0)
+        np.testing.assert_array_equal(w3[kw, C:, :C], 0)
+
+
+@pytest.mark.parametrize("relu", [True, False])
+def test_stacked_conv_matches_golden(relu):
+    from resnet_accel_tpu.ops.conv_bm import (conv3x3_bm_stacked,
+                                              pack_weights_bm_stacked)
+    x, w2d, bias, f = _mk(seed=13)
+    xr = rowvec_of_nchw(jnp.asarray(x))
+    w3 = pack_weights_bm_stacked(w2d, C)
+    out = conv3x3_bm_stacked(xr, w3, jnp.asarray(bias), jnp.asarray(f),
+                             width=8, relu=relu, kernel_interpret=True)
+    got = np.asarray(nchw_of_rowvec(out, 128))
+    np.testing.assert_array_equal(got, _golden(x, w2d, bias, f, relu))
+
+
+def test_stacked_residual_and_qslice():
+    from resnet_accel_tpu.ops.conv_bm import (conv3x3_bm_stacked,
+                                              pack_weights_bm_stacked)
+    x, w2d, bias, f = _mk(seed=14)
+    r = _mk(seed=15)[0]
+    s_main, s_res, s_out = 0.12, 0.08, 0.19
+    m = _golden(x, w2d, bias, f, relu=False)
+    want = np.asarray(add_residual(
+        jnp.asarray(m), jnp.asarray(r), s_main, s_res, s_out,
+        relu=True))
+    xr = rowvec_of_nchw(jnp.asarray(x))
+    rr = rowvec_of_nchw(jnp.asarray(r))
+    w3 = pack_weights_bm_stacked(w2d, C)
+    out = conv3x3_bm_stacked(xr, w3, jnp.asarray(bias), jnp.asarray(f),
+                             width=8, relu=True, residual=rr,
+                             res_scales=(s_main, s_res, s_out, None),
+                             kernel_interpret=True)
+    np.testing.assert_array_equal(np.asarray(nchw_of_rowvec(out, 128)),
+                                  want)
+    qs = conv3x3_bm_stacked(xr, w3, jnp.asarray(bias), jnp.asarray(f),
+                            width=8, relu=True, residual=rr,
+                            res_scales=(s_main, s_res, s_out, None),
+                            out_layout="qslice", kernel_interpret=True)
+    np.testing.assert_array_equal(np.asarray(qs.transpose(3, 2, 0, 1)),
+                                  want)
+
+
+def test_bm_stacked_route_in_model_matches_base():
+    import jax
+    from resnet_accel_tpu.models.resnet18 import (init_resnet18_fp32,
+                                                  make_forward,
+                                                  quantize_resnet18)
+    rng = np.random.default_rng(17)
+    params = init_resnet18_fp32(seed=3, num_classes=10,
+                                small_input=False)
+    calib = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    model = quantize_resnet18(params, calib, 10, small_input=False)
+    x = rng.normal(0, 1, (128, 3, 32, 32)).astype(np.float32)
+    pd = model.as_device_params()
+    base = np.asarray(jax.jit(make_forward(model, use_pallas=False,
+                                           backend="cpu"))(
+        pd, jnp.asarray(x)))
+    st = np.asarray(jax.jit(make_forward(
+        model, use_pallas=False, backend="cpu", stem_fused=True,
+        bm_trunk=True, conv_routes={"bm": "stacked"}))(
+        pd, jnp.asarray(x)))
+    np.testing.assert_array_equal(st, base)

@@ -42,20 +42,27 @@ def test_proof_means_bit_identical_everywhere():
     assert proven >= 30          # the proof is the common case
 
 
-def test_boundary_triple_rejected():
-    """A scale triple where some reachable sum rounds differently under
-    multiply-by-reciprocal must return None (found by search; the
-    verifier is what keeps the fast path honest)."""
+def test_boundary_triple_rescued_by_neighbour():
+    """A scale triple where the PLAIN reciprocal fails the exhaustive
+    check (found by search).  The raw multiply diverges somewhere —
+    and since round 5 the verifier also tries the reciprocal's 1-ulp
+    neighbours, one of which passes here, so the triple gets a proof
+    anyway.  Whatever is returned must satisfy the exhaustive property
+    itself — the verifier, not the candidate, keeps the fast path
+    honest."""
     sm, sr, so = (0.01538078784044548, 0.10049459190806509,
                   0.149075398377247)
-    assert exact_inv_out_scale(sm, sr, so) is None
-    # and indeed the raw multiply would diverge somewhere:
-    inv = np.float32(1.0) / np.float32(so)
     s = (Y.astype(np.float32) * np.float32(sm)
          + R.astype(np.float32) * np.float32(sr))
     qd = np.clip(np.rint(s / np.float32(so)), -128, 127)
-    qm = np.clip(np.rint(s * inv), -128, 127)
-    assert not np.array_equal(qd, qm)
+    # the plain reciprocal diverges somewhere:
+    inv0 = np.float32(1.0) / np.float32(so)
+    assert not np.array_equal(qd, np.clip(np.rint(s * inv0), -128, 127))
+    # ...but the proof search finds a verified neighbour:
+    inv = exact_inv_out_scale(sm, sr, so)
+    assert inv is not None and np.float32(inv) != inv0
+    np.testing.assert_array_equal(
+        qd, np.clip(np.rint(s * np.float32(inv)), -128, 127))
 
 
 def test_relu_and_dtype():
