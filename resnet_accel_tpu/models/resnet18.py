@@ -967,9 +967,14 @@ def make_forward(model: ResNet18Int8, use_pallas: bool = True,
             # round-trips it removes were already hidden under compute
             # — so the simpler form ships and the block kernel stays
             # behind {"bm": "block"} for future hardware
+            # default: stacked row-pair dots — measured on chip (round
+            # 5, route_tune bmstacked): c1 195 -> ~140, c2 307 -> ~257,
+            # device total 2628 -> 2505 us, logit-exact.  "split" =
+            # the 9-dot M=64 form; "block" = the whole-block fusion
+            # (measured tie); both kept for A/B and odd-H geometries.
             bm_route = (conv_routes or {}).get("bm")
             bm_block = bm_route == "block"
-            bm_stacked = (bm_route == "stacked"
+            bm_stacked = (bm_route in (None, "stacked")
                           and a.shape[0] % 2 == 0)
             for i in range(bm_run):
                 blk = model.blocks[i]

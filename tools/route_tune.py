@@ -66,6 +66,7 @@ def main(batch: int = 128, depth: int = 18) -> None:
         ("chwn", {"input_layout": "CHWN"}),
         ("nobm", {"bm_trunk": False}),
         ("bmblock", {"conv_routes": {"bm": "block"}}),
+        ("bmstacked", {"conv_routes": {"bm": "stacked"}}),
         ("stembf16", {"conv_routes": {"stem": "bf16"}}),
         ("stemxla", {"stem_nm": False, "stem_wh": False}),
         ("stemwh", {"stem_nm": False}),
