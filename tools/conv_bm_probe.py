@@ -16,7 +16,8 @@ Mosaic formulation that the fused stem's machinery suggests:
 Checks bit-exactness vs the golden conv2d_int8 composition and xprof
 device time vs the XLA emitter on the SAME int8 NCHW input.
 
-Run: python tools/conv_bm_probe.py [N]
+Run: python tools/conv_bm_probe.py [N] [C] [H]
+(C/H default 64/56 — the stage-1 geometry; 128/28 probes layer2.)
 """
 import functools
 import os
@@ -29,7 +30,7 @@ import numpy as np
 RS = 4           # row ring: write slot g, read slots g-3..g-1 — disjoint
 
 
-def main(N=128):
+def main(N=128, C=64, H=56):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -42,8 +43,7 @@ def main(N=128):
     from resnet_accel_tpu.ops.conv import conv2d_int8
     from resnet_accel_tpu.runtime import xprof
 
-    H = W = 56
-    C = 64
+    W = H
     lanes = W * 128
     gw = 128                      # zero guard lanes each side
 
@@ -149,4 +149,6 @@ def main(N=128):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 56)
